@@ -1,0 +1,234 @@
+"""Command-line surface: drop-in equivalent of the reference's
+`gfalign [tool] [options]` (src/main.cpp), so the reference's
+validateFiles/*.tst command lines run unmodified against this framework.
+
+Six modes: align, evalGFA, subgraph, search, filter, evalPath.
+One deliberate capability upgrade: `align` runs the framework's own
+TPU seed-and-extend aligner instead of shelling out to GraphAligner
+(reference src/main.cpp:167-169 + Makefile conda install).
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+from typing import List, Optional
+
+VERSION = "0.1.0"
+
+TOOLS = {"align": 0, "evalGFA": 1, "subgraph": 2, "search": 3, "filter": 4, "evalPath": 5}
+
+_HELP = """gfalign [options] [tool] [arguments]
+-h for additional help.
+
+Tools:
+align
+evalGFA
+evalPath
+subgraph
+search
+filter
+"""
+
+
+class UserInput:
+    def __init__(self) -> None:
+        self.mode = 0
+        self.in_sequence = ""
+        self.in_align = ""
+        self.in_reads: List[str] = []
+        self.out_file = ""
+        self.node_file = ""
+        self.source = ""
+        self.destination = ""
+        self.path = ""
+        self.preset = "hifi"
+        self.stats_flag = False
+        self.align_stats_flag = False
+        self.sort_alignment_flag = False
+        self.terminal_alignments_flag = False
+        self.return_all_paths = False
+        self.cmd_flag = False
+        self.min_nodes = 0
+        self.dijkstra_steps = 100000
+        self.threads = 0
+
+
+_MODE_OPTS = {
+    0: ("f:g:j:o:p:r:vh", ["input-sequence=", "input-alignment=", "preset=",
+                           "input-reads=", "out-format=", "graph-statistics",
+                           "threads=", "cmd", "verbose", "version", "help"]),
+    1: ("f:g:j:o:vh", ["input-sequence=", "input-alignment=", "out-format=",
+                       "graph-statistics", "sort-alignment",
+                       "output-terminal-alignments", "threads=", "cmd",
+                       "verbose", "version", "help"]),
+    2: ("f:j:n:o:vh", ["input-sequence=", "node-file=", "out-format=",
+                       "graph-statistics", "threads=", "cmd", "verbose",
+                       "version", "help"]),
+    3: ("d:f:g:j:m:n:o:s:vh", ["destination=", "input-sequence=",
+                               "input-alignment=", "max-steps=", "node-file=",
+                               "out-format=", "source=", "return-all-paths",
+                               "graph-statistics", "min-nodes=", "threads=",
+                               "cmd", "verbose", "version", "help"]),
+    4: ("g:j:n:o:vh", ["input-alignment=", "node-file=", "out-format=",
+                       "min-nodes=", "threads=", "cmd", "verbose", "version",
+                       "help"]),
+    5: ("p:f:g:j:vh", ["path=", "input-sequence=", "input-alignment=",
+                       "graph-statistics", "threads=", "cmd", "verbose",
+                       "version", "help"]),
+}
+
+
+def _print_version() -> None:
+    print(f"gfalign-tpu v{VERSION}")
+    raise SystemExit(0)
+
+
+def parse_args(argv: List[str]) -> UserInput:
+    if not argv:
+        print(_HELP, end="")
+        raise SystemExit(0)
+    mode = TOOLS.get(argv[0])
+    if mode is None:
+        print(f"mode '{argv[0]}' does not exist. Terminating.", file=sys.stderr)
+        raise SystemExit(1)
+    ui = UserInput()
+    ui.mode = mode
+    short, longs = _MODE_OPTS[mode]
+    try:
+        opts, extra = getopt.gnu_getopt(argv[1:], short.replace("h", "h"), longs)
+    except getopt.GetoptError as exc:
+        print(str(exc), file=sys.stderr)
+        raise SystemExit(1)
+    for opt, val in opts:
+        if opt in ("-f", "--input-sequence"):
+            ui.in_sequence = val
+        elif opt in ("-g", "--input-alignment"):
+            ui.in_align = val
+            ui.align_stats_flag = True
+        elif opt in ("-o", "--out-format"):
+            ui.out_file = val
+        elif opt in ("-j", "--threads"):
+            ui.threads = int(val)
+        elif opt in ("-n", "--node-file"):
+            ui.node_file = val
+        elif opt in ("-s", "--source"):
+            ui.source = val
+        elif opt in ("-d", "--destination"):
+            ui.destination = val
+        elif opt in ("-m", "--max-steps"):
+            ui.dijkstra_steps = int(val)
+        elif opt in ("-p", "--preset") and mode == 0:
+            ui.preset = val
+        elif opt in ("-p", "--path") and mode == 5:
+            ui.path = val
+        elif opt in ("-r", "--input-reads"):
+            ui.in_reads.append(val)
+        elif opt == "--graph-statistics":
+            ui.stats_flag = True
+        elif opt == "--sort-alignment":
+            ui.sort_alignment_flag = True
+        elif opt == "--output-terminal-alignments":
+            ui.terminal_alignments_flag = True
+        elif opt == "--return-all-paths":
+            ui.return_all_paths = True
+        elif opt == "--min-nodes":
+            ui.min_nodes = int(val)
+        elif opt == "--cmd":
+            ui.cmd_flag = True
+        elif opt == "--verbose":
+            from ..utils.log import lg
+            lg.set_verbose(True)
+        elif opt in ("-v", "--version"):
+            _print_version()
+        elif opt in ("-h", "--help"):
+            print(f"gfalign {argv[0]} [options]\nsee README for options")
+            raise SystemExit(0)
+    # positional reads (mode 0 allows bare file arguments after -r)
+    if mode == 0:
+        ui.in_reads.extend(a for a in extra if not a.startswith("-"))
+    # reference mode-0 quirk: sorted/terminal output suppresses the summary
+    if mode == 0 and (ui.sort_alignment_flag or ui.terminal_alignments_flag):
+        ui.align_stats_flag = False
+    return ui
+
+
+def run(ui: UserInput) -> int:
+    from ..engine.alignments import AlignmentSet
+    from ..graph.stats import report_stats
+    from ..io.gfa import read_gfa
+    from ..utils.log import lg
+
+    out = sys.stdout
+    if ui.cmd_flag:
+        print("".join(t + " " for t in ["gfalign"] + sys.argv[1:]))
+
+    graph = None
+    if ui.in_sequence:
+        lg.verbose(f"GFA: {ui.in_sequence}")
+        graph = read_gfa(ui.in_sequence)
+        if ui.stats_flag:
+            report_stats(graph, out)
+
+    alignments = AlignmentSet()
+    if ui.in_align:
+        lg.verbose(f"Alignment: {ui.in_align}")
+        alignments.load(ui.in_align, ui.terminal_alignments_flag)
+
+    mode = ui.mode
+    if mode == 0:
+        from ..engine.aligner import align_mode
+        if ui.in_reads:
+            align_mode(graph, ui.in_reads, ui.out_file, ui.preset)
+        # falls through to evalGFA behavior (reference
+        # src/input-gfalign.cpp:79-82 has no break after case 0)
+        mode = 1
+    if mode == 1:
+        if ui.in_align:
+            alignments.sort_by_name()
+            alignments.mark_duplicates(out)
+            if ui.align_stats_flag:
+                alignments.print_stats(out)
+            elif ui.sort_alignment_flag:
+                alignments.output(ui.out_file, out)
+        if ui.in_align and ui.out_file:
+            from ..engine.evalgfa import eval_gfa
+            from ..io.writers import write_graph
+            eval_gfa(graph, alignments)
+            write_graph(graph, ui.out_file)
+    elif mode == 2:
+        nodelist = _read_nodelist(ui.node_file)
+        sub = graph.subgraph(nodelist)
+        if ui.out_file:
+            from ..io.writers import write_graph
+            write_graph(sub, ui.out_file)
+    elif mode == 3:
+        from ..engine.search import search
+        search(graph, alignments if ui.in_align else None, ui.node_file,
+               ui.source, ui.destination, ui.dijkstra_steps, ui.min_nodes,
+               ui.return_all_paths, out)
+    elif mode == 4:
+        nodelist = _read_nodelist(ui.node_file)
+        alignments.filter_by_nodelist(nodelist, ui.min_nodes)
+        if ui.out_file:
+            alignments.output(ui.out_file, out)
+    elif mode == 5:
+        from ..engine.evalpath import eval_path
+        eval_path(graph, alignments, ui.path, out)
+    return 0
+
+
+def _read_nodelist(node_file: str) -> List[str]:
+    with open(node_file) as fh:
+        return [line.rstrip("\n") for line in fh if line.rstrip("\n") != ""]
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    from ..utils.fmt import cout
+    cout.reset()  # fresh process state when called in-process (tests)
+    ui = parse_args(list(sys.argv[1:] if argv is None else argv))
+    return run(ui)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

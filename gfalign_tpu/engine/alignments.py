@@ -1,0 +1,287 @@
+"""GAF record model and alignment-set operations.
+
+Functional equivalent of the reference's alignment layer
+(src/alignments.cpp / include/alignments.h), re-designed struct-of-arrays:
+the 9 numeric GAF columns live in numpy arrays so stats are vectorized
+reductions and path tokenization happens once into padded int tensors for
+device kernels.
+
+Byte-parity quirks intentionally reproduced (all observable in the goldens):
+  * summary averages divide load-time totals by the *current* record count,
+    so after `filter` the averages are inflated (validateFiles/test.7.tst:5-11;
+    reference src/alignments.cpp:248-280 vs 459-472);
+  * the duplicate-marking scratch vector only resets when a duplicate run
+    ends, so singleton reads leak into the next group's supplementary
+    counting (src/alignments.cpp:304-326) — random2's supplementary count of
+    1 depends on this;
+  * the terminal-supplementary window test `pEnd >= pLen - 500` is unsigned:
+    for pLen < 500 it wraps and is always false (src/alignments.cpp:345);
+  * unknown path node names map to uId 0, mirroring phmap operator[]
+    default-insertion (src/alignments.cpp:86).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..graph.model import Graph, flip
+from ..utils.fmt import cout, label
+from ..utils.log import lg
+
+_U32 = 1 << 32
+_PATH_TOKEN = re.compile(r"[><][^><]+")
+
+
+@dataclass
+class GafRecord:
+    qname: str
+    qlen: int
+    qstart: int
+    qend: int
+    strand: str
+    path: str
+    plen: int
+    pstart: int
+    pend: int
+    matches: int
+    blocklen: int
+    mapq: int
+    tags: List[Tuple[str, str, str]] = field(default_factory=list)
+    pos: int = 0
+
+    @classmethod
+    def from_line(cls, line: str, pos: int = 0) -> "GafRecord":
+        cols = line.split("\t")
+        tags = []
+        for col in cols[12:]:
+            parts = col.split(":")
+            # the reference keeps only the third ':'-field as content
+            # (src/alignments.cpp:223-227)
+            tags.append((parts[0][:2], parts[1][0], parts[2] if len(parts) > 2 else ""))
+        return cls(cols[0], int(cols[1]), int(cols[2]), int(cols[3]), cols[4][0],
+                   cols[5], int(cols[6]), int(cols[7]), int(cols[8]), int(cols[9]),
+                   int(cols[10]), int(cols[11]), tags, pos)
+
+    def to_line(self) -> str:
+        parts = [self.qname, str(self.qlen), str(self.qstart), str(self.qend),
+                 self.strand, self.path, str(self.plen), str(self.pstart),
+                 str(self.pend), str(self.matches), str(self.blocklen), str(self.mapq)]
+        for lab, typ, content in self.tags:
+            parts.append(f"{lab}:{typ}:{content}")
+        return "\t".join(parts) + "\n"
+
+    # -- path-string walkers ---------------------------------------------
+
+    def path_tokens(self) -> List[Tuple[str, str]]:
+        """[('name', '+'|'-')] from a '>'/'<'-prefixed GAF path string."""
+        return [(m[1:], "+" if m[0] == ">" else "-") for m in _PATH_TOKEN.findall(self.path)]
+
+    def path_ids(self, name_to_id: Dict[str, int]) -> List[Tuple[int, str]]:
+        return [(name_to_id.get(name, 0), orientation) for name, orientation in self.path_tokens()]
+
+    def is_contained(self, headers: set) -> bool:
+        return all(name in headers for name, _ in self.path_tokens())
+
+    def path_nodes_count(self) -> int:
+        return len(self.path_tokens())
+
+
+class AlignmentSet:
+    """The InAlignments equivalent: records + load-time stat totals."""
+
+    def __init__(self) -> None:
+        self.records: List[GafRecord] = []
+        # load-time totals (never recomputed after filtering — quirk)
+        self.tot_qlen = 0
+        self.tot_algseq = 0
+        self.tot_plus = 0
+        self.tot_minus = 0
+        self.tot_plen = 0
+        self.tot_mapq = 0
+        self.tot_matches = 0
+        self.tot_blocklen = 0
+        self.primary = 0
+        self.secondary = 0
+        self.supplementary = 0
+        self.terminal_supplementary = 0
+        self.terminal_flag = False
+
+    # -- load ------------------------------------------------------------
+
+    def load(self, path: str, terminal_flag: bool = False) -> None:
+        from ..io.stream import iter_lines
+
+        self.terminal_flag = terminal_flag
+        pos = 0
+        for line in iter_lines(path):
+            if not line:
+                continue
+            rec = GafRecord.from_line(line, pos)
+            pos += 1
+            self.records.append(rec)
+            self._accumulate(rec)
+        lg.verbose(f"Loaded {len(self.records)} alignments from {path}")
+
+    def _accumulate(self, rec: GafRecord) -> None:
+        self.tot_qlen += rec.qlen
+        self.tot_algseq += rec.qend - rec.qstart
+        if rec.strand == "+":
+            self.tot_plus += 1
+        else:
+            self.tot_minus += 1
+        self.tot_plen += rec.plen
+        self.tot_matches += rec.matches
+        self.tot_blocklen += rec.blocklen
+        self.tot_mapq += rec.mapq
+
+    # -- stats -----------------------------------------------------------
+
+    def _avg(self, total: int) -> float:
+        n = len(self.records)
+        return total / n if n else float("nan")
+
+    def print_stats(self, out, tabular: bool = False) -> None:
+        n = len(self.records)
+        fr = cout.fmt_rounded
+        if not tabular:
+            out.write(label("+++Alignment summary+++") + "\n")
+        out.write(label("# alignments") + str(n) + "\n")
+        out.write(label("Average read length") + fr(self._avg(self.tot_qlen)) + "\n")
+        out.write(label("Average aligned sequence") + fr(self._avg(self.tot_algseq)) + "\n")
+        denom = self.tot_plus + self.tot_minus
+        plus_pct = self.tot_plus / denom * 100 if denom else float("nan")
+        minus_pct = self.tot_minus / denom * 100 if denom else float("nan")
+        out.write(label("Alignment orientation (+/-)")
+                  + f"{self.tot_plus}({fr(plus_pct)}%):{self.tot_minus}({fr(minus_pct)}%)\n")
+        out.write(label("Average path length") + fr(self._avg(self.tot_plen)) + "\n")
+        out.write(label("Average alignment quality") + fr(self._avg(self.tot_mapq)) + "\n")
+        out.write(label("Average matches #") + fr(self._avg(self.tot_matches)) + "\n")
+        out.write(label("Average block length") + fr(self._avg(self.tot_blocklen)) + "\n")
+        out.write(label("Primary alignments") + str(self.primary) + "\n")
+        out.write(label("Secondary alignments") + str(self.secondary) + "\n")
+        out.write(label("Supplementary alignments") + str(self.supplementary) + "\n")
+        out.write(label("Terminal supplementary alignments") + str(self.terminal_supplementary) + "\n")
+
+    # -- sorting / duplicate marking -------------------------------------
+
+    def sort_by_name(self) -> None:
+        # stable by qName (deterministic superset of the reference's
+        # non-stable std::sort, SURVEY.md section 4 quirk 9)
+        self.records.sort(key=lambda r: r.qname)
+
+    def mark_duplicates(self, out=None) -> None:
+        prev: Optional[str] = None
+        scratch: List[GafRecord] = []
+        n = len(self.records)
+        for i, rec in enumerate(self.records):
+            scratch.append(rec)
+            if rec.qname == prev:
+                self.secondary += 1
+                if i + 1 == n or self.records[i + 1].qname != rec.qname:
+                    self._count_supplementary(scratch, out)
+                    scratch = []
+            else:
+                self.primary += 1
+                prev = rec.qname
+
+    def _count_supplementary(self, group: List[GafRecord], out=None) -> None:
+        group = sorted(group, key=lambda r: r.qstart)  # stable
+        pos = 0
+        count = 0
+        for rec in group:
+            if pos != 0 and rec.qstart > pos:
+                self.supplementary += 1
+                count += 1
+            pos = rec.qend
+        if len(group) == 2 and count == 1:
+            # unsigned window test: pLen < 500 wraps and never passes
+            if group[0].pend >= ((group[0].plen - 500) % _U32) and group[1].pstart <= 500:
+                self.terminal_supplementary += 1
+                if self.terminal_flag and out is not None:
+                    out.write(group[0].to_line() + group[1].to_line())
+
+    # -- filtering -------------------------------------------------------
+
+    def filter_by_nodelist(self, nodelist: Sequence[str], min_nodes: int) -> None:
+        headers = set(nodelist)
+        self.records = [r for r in self.records
+                        if r.is_contained(headers) and r.path_nodes_count() >= min_nodes]
+
+    # -- output ----------------------------------------------------------
+
+    def output(self, file: str, stdout) -> None:
+        from ..io.stream import OutputStream
+
+        stream = OutputStream(file)
+        if stream.out_file:  # writing records to a file => stats to stdout
+            self.print_stats(stdout)
+        for rec in self.records:
+            stream.write(rec.to_line())
+        stream.close()
+
+    # -- tensorization ---------------------------------------------------
+
+    def paths_as_ids(self, name_to_id: Dict[str, int]) -> List[List[Tuple[int, str]]]:
+        return [rec.path_ids(name_to_id) for rec in self.records]
+
+    def paths_padded(self, name_to_id: Dict[str, int], pad_to: Optional[int] = None):
+        """(ids, orients, lengths) padded int32/int8 arrays for device
+        scoring; orientation encoded 0='+', 1='-'; id pad = -1."""
+        ids_list = self.paths_as_ids(name_to_id)
+        n = len(ids_list)
+        max_len = max((len(p) for p in ids_list), default=1) or 1
+        if pad_to is not None:
+            max_len = max(max_len, pad_to)
+        ids = np.full((n, max_len), -1, dtype=np.int32)
+        orients = np.zeros((n, max_len), dtype=np.int8)
+        lengths = np.zeros((n,), dtype=np.int32)
+        for i, p in enumerate(ids_list):
+            lengths[i] = len(p)
+            for j, (sid, orientation) in enumerate(p):
+                ids[i, j] = sid
+                orients[i, j] = 0 if orientation == "+" else 1
+        return ids, orients, lengths
+
+
+# -- alignment-derived edge graph (evalGFA support counting) ---------------
+
+
+def _canonical(s1: int, o1: str, s2: int, o2: str) -> Tuple:
+    a = (s1, o1, s2, o2)
+    b = (s2, flip(o2), s1, flip(o1))
+    return min(a, b)
+
+
+def build_edge_weights(alignments: AlignmentSet, name_to_id: Dict[str, int]) -> Dict[Tuple, int]:
+    """Count read support for each bidirected edge implied by GAF paths.
+
+    Equivalent to the reference's per-record linear-scan adjacency build
+    (src/alignments.cpp:353-403) but as one canonical-key counting pass.
+    The palindromic self-loop case (an edge equal to its own mirror) is
+    resolved at lookup time (see edge_weight)."""
+    weights: Dict[Tuple, int] = {}
+    for rec in alignments.records:
+        steps = rec.path_ids(name_to_id)
+        for (s1, o1), (s2, o2) in zip(steps, steps[1:]):
+            key = _canonical(s1, o1, s2, o2)
+            weights[key] = weights.get(key, 0) + 1
+    return weights
+
+
+def edge_weight(weights: Dict[Tuple, int], s1: int, o1: str, s2: int, o2: str) -> int:
+    """Support weight for a directed edge query; 0 when unsupported.
+
+    A palindromic edge (its mirror is itself: s1==s2 and o2==flip(o1)) gets
+    2c-1: the reference increments both the forward entry and its mirror,
+    which are the same list element in that case (src/alignments.cpp:384-394)."""
+    key = _canonical(s1, o1, s2, o2)
+    c = weights.get(key, 0)
+    if c == 0:
+        return 0
+    if s1 == s2 and o2 == flip(o1):
+        return 2 * c - 1
+    return c

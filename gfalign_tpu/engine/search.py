@@ -1,0 +1,181 @@
+"""Tangle path search: best-first source->destination enumeration.
+
+The reference's `dijkstra` (src/eval.cpp:110-193) pops the best partial path
+from a Fibonacci heap and, for each admissible adjacent edge, re-scores ALL
+read paths against the extended candidate (quadratic NW per read).  Our
+redesign keeps the host-side heap (output order must match the sequential
+reference) but scores every expansion of a popped path as ONE batched device
+call (`evaluate_candidates`), which is where all the FLOPs are.
+
+Heap tie-breaking: equal priorities pop in insertion order (FIFO).  This
+matches the observable ordering of validateFiles/test.6.tst and makes
+multi-batch runs deterministic (SURVEY.md section 4 quirk 9).
+
+Priority: alt = bad - good - #unique-node-names; lower is better.
+A path may visit a node at most `count` times (NodeTable budget, decremented
+per visit).  Reaching the destination reports the path; an improving path
+(more uniques, or equal uniques with lower alt, and >= minNodes uniques) is
+printed unless --return-all-paths prints every discovered path.
+"""
+
+from __future__ import annotations
+
+import heapq
+import sys
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from ..graph.model import Graph
+from ..ops.nw_path import Step
+from ..utils.log import lg
+from .alignments import AlignmentSet
+from .evaluate import evaluate_candidates
+
+
+class NodeTable:
+    """Node-name -> (uId, allowed visit count) multiset
+    (reference include/nodetable.h:4-68).
+
+    nodeCount sums counts over every add() attempt — including duplicate
+    inserts, which keep the FIRST record but still bump nodeCount.  The
+    Hamiltonian test requires path-step count + 2 == nodeCount, so it can
+    only pass when source and destination also appear in the node file
+    (SURVEY.md section 4 quirk 3)."""
+
+    def __init__(self) -> None:
+        self.records: Dict[str, Tuple[int, int]] = {}  # name -> (uid, count)
+        self.node_count = 0
+
+    @classmethod
+    def from_file(cls, node_file: str, name_to_id: Dict[str, int]) -> "NodeTable":
+        table = cls()
+        with open(node_file) as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                cols = line.split("\t")
+                count = 1
+                if len(cols) > 1:
+                    count = int(cols[1])
+                    if count < 1:
+                        continue
+                table.node_count += count
+                uid = name_to_id.get(cols[0])
+                if uid is None:
+                    print(f"Error: node not in graph (pIUd: {cols[0]})", file=sys.stderr)
+                    raise SystemExit(1)
+                if cols[0] not in table.records:
+                    table.records[cols[0]] = (uid, count)
+        return table
+
+    def add(self, name: str, uid: int, count: int) -> None:
+        if count < 1:
+            return
+        if name not in self.records:
+            self.records[name] = (uid, count)
+        self.node_count += count
+
+    def check_hamiltonian(self, path_nodes: Dict[int, int], path_len: int) -> bool:
+        if path_len + 2 != self.node_count:
+            return False
+        for _, (uid, count) in self.records.items():
+            if path_nodes.get(uid) != count:
+                return False
+        return True
+
+
+@dataclass
+class PartialPath:
+    steps: List[Step]
+    counts: Dict[str, int]  # remaining visit budget per node name
+
+
+def search(graph: Graph,
+           alignments: Optional[AlignmentSet],
+           node_file: str,
+           source: str,
+           destination: str,
+           max_steps: int = 100000,
+           min_nodes: int = 0,
+           return_all_paths: bool = False,
+           out=None) -> None:
+    out = out or sys.stdout
+    adj = graph.adjacency
+    name_to_id = graph.name_to_id
+    read_paths: List[List[Step]] = []
+    if alignments is not None:
+        read_paths = [[Step(i, o) for i, o in p] for p in alignments.paths_as_ids(name_to_id)]
+
+    table = NodeTable.from_file(node_file, name_to_id)
+    # unknown source/destination names default-insert uId 0, matching phmap
+    # operator[] (reference src/eval.cpp:127-128)
+    table.add(source, name_to_id.get(source, 0), 1)
+    table.add(destination, name_to_id.get(destination, 0), 1)
+    dest_uid = table.records[destination][0]
+
+    heap: List[Tuple[int, int, PartialPath]] = []
+    seq = 0
+    first = PartialPath([Step(table.records[source][0], "0")],
+                        {name: count for name, (uid, count) in table.records.items()})
+    heapq.heappush(heap, (0, seq, first))
+    seq += 1
+
+    best_alt = 2 ** 31 - 1
+    best_uniques = 0
+    path_counter = 0
+    steps = 0
+    lg.verbose("Starting search")
+    while heap and steps < max_steps:
+        _, _, u = heapq.heappop(heap)
+        last = u.steps[-1]
+        # gather admissible expansions, batch-score, then commit in order
+        expansions = []
+        for v in adj[last.id]:
+            if last.orientation != "0" and last.orientation != v.or0:
+                continue
+            name = graph.segment(v.nid).name
+            remaining = u.counts.get(name)
+            if remaining is None or remaining <= 0:
+                continue
+            new_steps = list(u.steps)
+            if new_steps[-1].orientation == "0":
+                new_steps[-1] = Step(new_steps[-1].id, v.or0)
+            new_steps.append(Step(v.nid, v.or1))
+            uniques = sorted({graph.segment(s.id).name for s in new_steps})
+            expansions.append((v, name, new_steps, uniques))
+        if not expansions:
+            steps += 1
+            continue
+        scores = evaluate_candidates([e[2] for e in expansions], read_paths,
+                                     filter_alignments=True)
+        for (v, name, new_steps, uniques), sc in zip(expansions, scores):
+            alt = sc.bad - sc.good - len(uniques)
+            if v.nid != dest_uid:
+                new_counts = dict(u.counts)
+                new_counts[name] -= 1
+                heapq.heappush(heap, (alt, seq, PartialPath(new_steps, new_counts)))
+                seq += 1
+            else:
+                path_counter += 1
+                path_nodes: Dict[int, int] = {}
+                for s in new_steps:
+                    path_nodes[s.id] = path_nodes.get(s.id, 0) + 1
+                hamiltonian = table.check_hamiltonian(path_nodes, len(new_steps))
+                print_path = False
+                if len(uniques) >= min_nodes and (
+                        best_uniques < len(uniques)
+                        or (best_uniques == len(uniques) and best_alt > alt)):
+                    best_alt = alt
+                    best_uniques = len(uniques)
+                    print_path = True
+                if return_all_paths or print_path:
+                    path_str = ",".join(graph.segment(s.id).name + s.orientation
+                                        for s in new_steps)
+                    out.write(f"{path_counter}\t{sc.bad}\t{sc.good}\t{alt}\t"
+                              f"{len(new_steps)}\t{len(uniques)}\t"
+                              f"{'T' if hamiltonian else 'F'}\t{path_str}\n")
+        steps += 1
+    if steps >= max_steps:
+        out.write(f"Reached maximum number of steps ({steps})\n")
+    lg.verbose("Search completed")

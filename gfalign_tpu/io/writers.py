@@ -1,0 +1,82 @@
+"""GFA writers (gfalibs Report::writeToStream equivalent).
+
+The reference snapshot does not vendor gfalibs, so the exact byte format of
+its GFA writer is not recoverable; this writer defines a clean canonical
+emission that round-trips everything our parser reads:
+
+  H line, S lines (sequence + original tags, LN added when absent),
+  L lines (overlap + tags, including appended RC decorations),
+  J lines (GFA1.2 gaps), P lines (original ','/';' junction structure).
+
+Output format is chosen by extension: *.gfa2 -> GFA2 (S len column, E/G/O
+records), anything else -> GFA1.2.
+"""
+
+from __future__ import annotations
+
+from ..graph.model import Graph
+from .stream import OutputStream
+
+
+def _tags_str(tags) -> str:
+    return "".join(f"\t{lab}:{typ}:{content}" for lab, typ, content in tags)
+
+
+def write_gfa1(graph: Graph, write) -> None:
+    write("H\tVN:Z:1.2\n")
+    for sid in range(graph.n_segments):
+        seg = graph.segment(sid)
+        seq = seg.seq if seg.seq else "*"
+        tags = list(seg.tags)
+        if not any(lab == "LN" for lab, _, _ in tags):
+            tags.append(("LN", "i", str(seg.length)))
+        write(f"S\t{seg.name}\t{seq}{_tags_str(tags)}\n")
+    for e in graph.links:
+        write(f"L\t{graph.segment(e.s1).name}\t{e.or1}\t{graph.segment(e.s2).name}"
+              f"\t{e.or2}\t{e.overlap}{_tags_str(e.tags)}\n")
+    for g in graph.gaps:
+        write(f"J\t{graph.segment(g.s1).name}\t{g.or1}\t{graph.segment(g.s2).name}"
+              f"\t{g.or2}\t{g.dist}{_tags_str(g.tags)}\n")
+    for p in graph.paths:
+        steps_str = ""
+        junctions = []
+        for i, (sid, orientation) in enumerate(p.steps):
+            if i > 0:
+                kind, value = p.seps[i - 1] if i - 1 < len(p.seps) else ("edge", "*")
+                steps_str += ";" if kind == "gap" else ","
+                junctions.append(str(value))
+            steps_str += graph.segment(sid).name + orientation
+        write(f"P\t{p.name}\t{steps_str}\t{','.join(junctions) if junctions else '*'}\n")
+
+
+def write_gfa2(graph: Graph, write) -> None:
+    write("H\tVN:Z:2.0\n")
+    for sid in range(graph.n_segments):
+        seg = graph.segment(sid)
+        seq = seg.seq if seg.seq else "*"
+        write(f"S\t{seg.name}\t{seg.length}\t{seq}{_tags_str(seg.tags)}\n")
+    for e in graph.links:
+        write(f"E\t{graph.segment(e.s1).name}\t{e.or1}\t{graph.segment(e.s2).name}"
+              f"\t{e.or2}\t{e.overlap}{_tags_str(e.tags)}\n")
+    for gi, g in enumerate(graph.gaps):
+        gid = g.gid or f"gap{gi}"
+        write(f"G\t{gid}\t{graph.segment(g.s1).name}{g.or1}"
+              f"\t{graph.segment(g.s2).name}{g.or2}\t{g.dist}{_tags_str(g.tags)}\n")
+    for p in graph.paths:
+        tokens = []
+        gap_idx = 0
+        for i, (sid, orientation) in enumerate(p.steps):
+            if i > 0 and i - 1 < len(p.seps) and p.seps[i - 1][0] == "gap":
+                tokens.append(f"gap{gap_idx}")
+                gap_idx += 1
+            tokens.append(graph.segment(sid).name + orientation)
+        write(f"O\t{p.name}\t{' '.join(tokens)}\n")
+
+
+def write_graph(graph: Graph, out_file: str) -> None:
+    stream = OutputStream(out_file)
+    if stream.ext.startswith("gfa2"):
+        write_gfa2(graph, stream.write)
+    else:
+        write_gfa1(graph, stream.write)
+    stream.close()

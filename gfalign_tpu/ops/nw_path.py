@@ -1,0 +1,279 @@
+"""Needleman-Wunsch alignment over *paths of (node, orientation) steps*.
+
+This is the hottest kernel of the framework: the tangle search re-scores
+every read path against every candidate path expansion
+(reference src/eval.cpp:92-93 inside the search loop at :134-189).
+
+Exact-semantics contract (derived from reference src/alignments.cpp:499-554
+and the dp-matrix reuse in src/eval.cpp:79; see SURVEY.md section 4 quirk 5):
+
+  * A = candidate path (length n), B = read path (length m);
+  * dp row 0 is initialized as j*gap for j <= n and stays 0 for j > n (the
+    reference initializes the row over A's extent, not B's);
+  * dp column 0 is all 0 (free leading candidate-gap);
+  * vertical moves in the last column are free (free trailing candidate-gap):
+    dp[i][j] = max(dp[i-1][j-1]+S, dp[i-1][j] + (gap if j<m else 0),
+                   dp[i][j-1] + gap);
+  * the reported score is NOT dp[n][m] but is recomputed during traceback:
+    diagonal adds S; a vertical move subtracts 1 only if some B step was
+    already emitted (so trailing candidate-overhang is free); a horizontal
+    move subtracts 1; border moves (ii==0 or jj==0) are free;
+  * traceback prefers diagonal, then vertical when
+    dp[ii-1][jj] >= dp[ii][jj-1], else horizontal.
+
+Two implementations, cross-tested in tests/test_nw.py:
+  * a pure-Python oracle (reference behavior, used for byte-parity printing);
+  * a batched JAX version: the per-row recurrence's horizontal dependency is
+    an associative max-plus decay scan, so each row is one `cummax` over
+    (candidate + j) — vectorized over reads AND candidates; the traceback is
+    a fixed-trip-count `fori_loop` of O(n+m) vectorized gathers.  int32
+    arithmetic keeps exact parity with the reference's int dp.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Sequence, Tuple
+
+import numpy as np
+
+
+class Step(NamedTuple):
+    id: int
+    orientation: str  # '+', '-', or '0' (undetermined start)
+
+
+def revcomp_path(path: Sequence[Step]) -> List[Step]:
+    """Reverse the step order and flip orientations.  Note the reference
+    maps any non-'+' orientation (including '0') to '+'
+    (include/alignments.h:64-70)."""
+    return [Step(s.id, "-" if s.orientation == "+" else "+") for s in reversed(path)]
+
+
+# ---------------------------------------------------------------------------
+# Oracle (host, exact reference behavior, also returns the aligned pair)
+# ---------------------------------------------------------------------------
+
+
+class PathAlignment(NamedTuple):
+    a: List[Step]   # candidate row with gap steps (id == -1)
+    b: List[Step]   # read row with gap steps
+    score: int
+
+
+def _nw_matrix(a: Sequence[Step], b: Sequence[Step],
+               match: int, mismatch: int, gap: int) -> np.ndarray:
+    n, m = len(a), len(b)
+    dp = np.zeros((n + 1, max(n, m) + 1), dtype=np.int64)
+    for j in range(0, n + 1):          # row-0 extent quirk: over n, not m
+        dp[0, j] = j * gap
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            s = match if a[i - 1] == b[j - 1] else mismatch
+            dp[i, j] = max(dp[i - 1, j - 1] + s,
+                           dp[i - 1, j] + (gap if j < m else 0),
+                           dp[i, j - 1] + gap)
+    return dp
+
+
+def nw_align_oracle(a: Sequence[Step], b: Sequence[Step],
+                    match: int = 0, mismatch: int = -1, gap: int = -1) -> PathAlignment:
+    a = [Step(s[0], s[1]) for s in a]
+    b = [Step(s[0], s[1]) for s in b]
+    dp = _nw_matrix(a, b, match, mismatch, gap)
+    n, m = len(a), len(b)
+    sa: List[Step] = []
+    sb: List[Step] = []
+    score = 0
+    sblen = 0
+    ii, jj = n, m
+    while ii != 0 or jj != 0:
+        if ii == 0:
+            sa.append(Step(-1, "0"))
+            sb.append(b[jj - 1])
+            jj -= 1
+        elif jj == 0:
+            sa.append(a[ii - 1])
+            sb.append(Step(-1, "0"))
+            ii -= 1
+        else:
+            s = match if a[ii - 1] == b[jj - 1] else mismatch
+            if dp[ii, jj] == dp[ii - 1, jj - 1] + s:
+                sa.append(a[ii - 1])
+                sb.append(b[jj - 1])
+                sblen += 1
+                ii -= 1
+                jj -= 1
+                score += s
+            elif dp[ii - 1, jj] >= dp[ii, jj - 1]:
+                sa.append(a[ii - 1])
+                sb.append(Step(-1, "0"))
+                ii -= 1
+                if sblen > 0:
+                    score -= 1
+            else:
+                sa.append(Step(-1, "0"))
+                sb.append(b[jj - 1])
+                sblen += 1
+                jj -= 1
+                score -= 1
+    sa.reverse()
+    sb.reverse()
+    return PathAlignment(sa, sb, score)
+
+
+def nw_score_oracle(a: Sequence[Step], b: Sequence[Step]) -> int:
+    return nw_align_oracle(a, b).score
+
+
+# ---------------------------------------------------------------------------
+# Batched device implementation
+# ---------------------------------------------------------------------------
+#
+# Encoding: ids int32 (pad -1 on reads, candidates use true length), orients
+# int8 (0='+', 1='-', 2='0').  A step matches iff id AND orientation match.
+# We fold (id, orientation) into a single int32 key = id * 4 + orient code
+# (ids are dense uIds >= 0; pads get key -1/-2 which never match).
+
+
+def _encode(ids: np.ndarray, orients: np.ndarray, pad_key: int) -> np.ndarray:
+    keys = ids.astype(np.int64) * 4 + orients.astype(np.int64)
+    keys = np.where(ids < 0, pad_key, keys)
+    return keys.astype(np.int32)
+
+
+def encode_steps(steps: Sequence[Step], pad_to: int, pad_key: int = -1) -> Tuple[np.ndarray, int]:
+    orient_code = {"+": 0, "-": 1, "0": 2}
+    ids = np.full((pad_to,), -1, dtype=np.int32)
+    orients = np.zeros((pad_to,), dtype=np.int8)
+    for i, s in enumerate(steps):
+        ids[i] = s.id
+        orients[i] = orient_code[s.orientation]
+    return _encode(ids, orients, pad_key), len(steps)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_scorer(n_max: int, m_max: int):
+    """Build the jitted (A-batch x B-batch) traceback scorer for padded
+    shapes (n_max, m_max).  Returns fn(a_keys[C,n], a_len[C],
+    b_keys[R,m], b_len[R]) -> scores[C,R] int32."""
+    import jax
+    import jax.numpy as jnp
+
+    def forward_rows(a_keys, a_len, b_keys, b_len):
+        # a_keys: (n,), b_keys: (R, m); returns dp: (n+1, R, m+1) int32
+        R = b_keys.shape[0]
+        m = b_keys.shape[1]
+        jidx = jnp.arange(m + 1, dtype=jnp.int32)
+        # row 0: -j for j <= n (true candidate length), else 0
+        row0 = jnp.where(jidx <= a_len, -jidx, 0)
+        row0 = jnp.broadcast_to(row0, (R, m + 1)).astype(jnp.int32)
+        # vertical-gap vector: gap(-1) while j < b_len, free at j == b_len;
+        # padding columns j > b_len are don't-care
+        gapv = jnp.where(jidx[None, :] < b_len[:, None], -1, 0).astype(jnp.int32)
+
+        def row_step(prev, a_key):
+            s = jnp.where(b_keys == a_key, 0, -1).astype(jnp.int32)  # (R, m)
+            diag = prev[:, :-1] + s
+            vert = prev[:, 1:] + gapv[:, 1:]
+            cand = jnp.maximum(diag, vert)                            # (R, m)
+            c = jnp.concatenate([jnp.zeros((R, 1), jnp.int32), cand], axis=1)
+            z = jax.lax.cummax(c + jidx[None, :], axis=1)
+            row = z - jidx[None, :]
+            return row, row
+
+        last, rows = jax.lax.scan(row_step, row0, a_keys)
+        dp = jnp.concatenate([row0[None], rows], axis=0)  # (n+1, R, m+1)
+        return dp
+
+    def traceback_scores(dp, a_keys, a_len, b_keys, b_len):
+        # dp: (n+1, R, m+1)
+        n1, R, m1 = dp.shape
+        dp_r = jnp.transpose(dp, (1, 0, 2)).reshape(R, n1 * m1)  # (R, (n+1)*(m+1))
+
+        def gather(ii, jj):
+            return jnp.take_along_axis(dp_r, (ii * m1 + jj)[:, None], axis=1)[:, 0]
+
+        def b_at(jj):
+            return jnp.take_along_axis(b_keys, jnp.maximum(jj - 1, 0)[:, None], axis=1)[:, 0]
+
+        def body(_, state):
+            ii, jj, sblen, score = state
+            active = (ii > 0) | (jj > 0)
+            border_a = active & (ii == 0)             # consume B, free
+            border_b = active & (jj == 0) & (ii > 0)  # consume A, free
+            interior = active & (ii > 0) & (jj > 0)
+            a_step = a_keys[jnp.maximum(ii - 1, 0)]
+            s = jnp.where(a_step == b_at(jj), 0, -1).astype(jnp.int32)
+            diag = interior & (gather(ii, jj) == gather(ii - 1, jj - 1) + s)
+            up = interior & ~diag & (gather(ii - 1, jj) >= gather(ii, jj - 1))
+            left = interior & ~diag & ~up
+            score = score + jnp.where(diag, s, 0)
+            score = score - jnp.where(up & (sblen > 0), 1, 0)
+            score = score - jnp.where(left, 1, 0)
+            sblen = sblen + jnp.where(diag | left, 1, 0)
+            ii = ii - jnp.where(diag | up | border_b, 1, 0)
+            jj = jj - jnp.where(diag | left | border_a, 1, 0)
+            return ii, jj, sblen, score
+
+        R_ = b_len.shape[0]
+        init = (jnp.broadcast_to(a_len, (R_,)).astype(jnp.int32),
+                b_len.astype(jnp.int32),
+                jnp.zeros((R_,), jnp.int32),
+                jnp.zeros((R_,), jnp.int32))
+        n_steps = n1 - 1 + m1 - 1
+        ii, jj, sblen, score = jax.lax.fori_loop(0, n_steps, body, init)
+        return score
+
+    def one_candidate(a_keys, a_len, b_keys, b_len):
+        dp = forward_rows(a_keys, a_len, b_keys, b_len)
+        return traceback_scores(dp, a_keys, a_len, b_keys, b_len)
+
+    @jax.jit
+    def scorer(a_keys, a_len, b_keys, b_len):
+        return jax.vmap(lambda ak, al: one_candidate(ak, al, b_keys, b_len))(a_keys, a_len)
+
+    return scorer
+
+
+def batched_best_scores(candidates: Sequence[Sequence[Step]],
+                        read_paths: Sequence[Sequence[Step]],
+                        read_chunk: int = 512) -> np.ndarray:
+    """max(fw, rc) traceback score for every (candidate, read) pair.
+
+    Returns int32 array of shape (len(candidates), len(read_paths)).
+    Shapes are padded to multiples of 8 so jit caching buckets stay small.
+    """
+    if not candidates or not read_paths:
+        return np.zeros((len(candidates), len(read_paths)), dtype=np.int32)
+
+    def pad_up(x: int) -> int:
+        return max(8, int(2 ** np.ceil(np.log2(max(x, 1)))))
+
+    n_max = pad_up(max(len(c) for c in candidates))
+    m_max = pad_up(max(len(r) for r in read_paths))
+    C = len(candidates)
+    a_keys = np.stack([encode_steps(c, n_max)[0] for c in candidates])
+    a_len = np.array([len(c) for c in candidates], dtype=np.int32)
+
+    fw = [list(map(Step._make, r)) for r in read_paths]
+    rc = [revcomp_path(r) for r in fw]
+    all_reads = fw + rc
+    b_keys = np.stack([encode_steps(r, m_max, pad_key=-2)[0] for r in all_reads])
+    b_len = np.array([len(r) for r in all_reads], dtype=np.int32)
+
+    scorer = _compiled_scorer(n_max, m_max)
+    R2 = b_keys.shape[0]
+    chunk = max(8, read_chunk)
+    outs = []
+    for start in range(0, R2, chunk):
+        bk = b_keys[start:start + chunk]
+        bl = b_len[start:start + chunk]
+        if bk.shape[0] < chunk and R2 > chunk:
+            padn = chunk - bk.shape[0]
+            bk = np.concatenate([bk, np.full((padn, m_max), -2, np.int32)])
+            bl = np.concatenate([bl, np.zeros((padn,), np.int32)])
+        outs.append(np.asarray(scorer(a_keys, a_len, bk, bl)))
+    scores2 = np.concatenate(outs, axis=1)[:, :R2]
+    R = len(read_paths)
+    return np.maximum(scores2[:, :R], scores2[:, R:]).astype(np.int32)

@@ -1,0 +1,89 @@
+"""Cross-validation of the batched JAX NW path scorer against the exact
+reference-semantics oracle (which is itself a semantic transcription of
+reference src/alignments.cpp:499-554 + src/eval.cpp:79-98)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from gfalign_tpu.ops.nw_path import (
+    Step,
+    batched_best_scores,
+    nw_align_oracle,
+    nw_score_oracle,
+    revcomp_path,
+)
+
+
+def random_path(rng, max_nodes, max_len):
+    return [Step(rng.randrange(max_nodes), rng.choice("+-"))
+            for _ in range(rng.randrange(1, max_len))]
+
+
+def test_perfect_match_scores_zero():
+    p = [Step(1, "+"), Step(2, "-"), Step(3, "+")]
+    assert nw_score_oracle(p, p) == 0
+
+
+def test_contained_read_is_free():
+    cand = [Step(i, "+") for i in range(6)]
+    read = [Step(2, "+"), Step(3, "+")]
+    # leading candidate overhang free (dp col 0 = 0), trailing candidate
+    # overhang free during traceback (sblen-gated)
+    assert nw_score_oracle(cand, read) == 0
+
+
+def test_mismatch_costs():
+    cand = [Step(1, "+"), Step(2, "+")]
+    read = [Step(1, "+"), Step(9, "+")]
+    assert nw_score_oracle(cand, read) < 0
+
+
+def test_orientation_matters():
+    a = [Step(1, "+")]
+    b = [Step(1, "-")]
+    assert nw_score_oracle(a, a) == 0
+    assert nw_score_oracle(a, b) < 0
+
+
+def test_revcomp_matches_reversed_candidate():
+    cand = [Step(1, "+"), Step(2, "+"), Step(3, "+")]
+    read = [Step(3, "-"), Step(2, "-"), Step(1, "-")]
+    assert revcomp_path(read) == cand
+    assert max(nw_score_oracle(cand, read), nw_score_oracle(cand, revcomp_path(read))) == 0
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_batched_matches_oracle(seed):
+    rng = random.Random(seed)
+    n_candidates = rng.randrange(1, 5)
+    n_reads = rng.randrange(1, 12)
+    candidates = [random_path(rng, 8, 12) for _ in range(n_candidates)]
+    reads = [random_path(rng, 8, 14) for _ in range(n_reads)]
+    got = batched_best_scores(candidates, reads)
+    want = np.array([
+        [max(nw_score_oracle(c, r), nw_score_oracle(c, revcomp_path([Step(*s) for s in r])))
+         for r in reads]
+        for c in candidates
+    ], dtype=np.int32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batched_chunking():
+    rng = random.Random(99)
+    candidates = [random_path(rng, 6, 10) for _ in range(3)]
+    reads = [random_path(rng, 6, 10) for _ in range(40)]
+    full = batched_best_scores(candidates, reads, read_chunk=512)
+    chunked = batched_best_scores(candidates, reads, read_chunk=8)
+    np.testing.assert_array_equal(full, chunked)
+
+
+def test_alignment_rows_pair_up():
+    cand = [Step(1, "+"), Step(2, "+"), Step(3, "+")]
+    read = [Step(1, "+"), Step(3, "+")]
+    aln = nw_align_oracle(cand, read)
+    assert len(aln.a) == len(aln.b)
+    # every read step appears in order in the B row
+    b_real = [s for s in aln.b if s.id != -1]
+    assert b_real == read
