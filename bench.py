@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Framework benchmark: GAF records evaluated per second per chip.
+
+One "record evaluation" = one read path scored against one candidate path
+(NW forward DP + traceback score, forward AND reverse-complement — exactly
+the per-record work of the reference's evaluatePath, src/eval.cpp:92-94).
+
+Baseline: the reference publishes no numbers (BASELINE.md), so the baseline
+is the reference's own hot loop — single-threaded C++ NW with identical
+semantics (bench/baseline_nw.cpp) on this machine's CPU, the same hardware
+class the reference runs on.  vs_baseline = device rate / CPU rate.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "records/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(ROOT))
+
+# workload: candidate/read path lengths typical of tangle work, sized so the
+# device pipeline is saturated
+C, R, N, M = 8, 2048, 64, 64
+
+
+def baseline_records_per_s() -> float:
+    src = ROOT / "bench" / "baseline_nw.cpp"
+    binary = ROOT / "bench" / ".baseline_nw"
+    if not binary.exists() or binary.stat().st_mtime < src.stat().st_mtime:
+        subprocess.run(["g++", "-O3", "-march=native", "-o", str(binary), str(src)],
+                       check=True)
+    out = subprocess.run([str(binary), str(C), str(min(R, 256)), str(N), str(M)],
+                         check=True, capture_output=True, text=True).stdout
+    for line in out.splitlines():
+        if line.startswith("records_per_s="):
+            return float(line.split("=")[1])
+    raise RuntimeError(f"baseline produced no rate: {out!r}")
+
+
+def device_records_per_s() -> float:
+    import jax
+
+    from gfalign_tpu.ops.nw_path import nw_best_scores
+
+    rng = np.random.default_rng(7)
+    a_keys = (rng.integers(0, 8, (C, N)) * 4 + rng.integers(0, 2, (C, N))).astype(np.int32)
+    a_len = np.full((C,), N, np.int32)
+    b_keys = (rng.integers(0, 8, (R, M)) * 4 + rng.integers(0, 2, (R, M))).astype(np.int32)
+    b_len = np.full((R,), M, np.int32)
+
+    fn = jax.jit(nw_best_scores)
+    out = fn(a_keys, a_len, b_keys, b_len)
+    out.block_until_ready()  # compile + warm
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(a_keys, a_len, b_keys, b_len)
+    out.block_until_ready()
+    secs = (time.perf_counter() - t0) / iters
+    return C * R / secs
+
+
+def main() -> None:
+    os.chdir(ROOT)
+    base = baseline_records_per_s()
+    value = device_records_per_s()
+    print(json.dumps({
+        "metric": "gaf_records_evaluated_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "records/s",
+        "vs_baseline": round(value / base, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,10 @@ Two implementations, cross-tested in tests/test_nw.py:
     (candidate + j) — vectorized over reads AND candidates; the traceback is
     a fixed-trip-count `fori_loop` of O(n+m) vectorized gathers.  int32
     arithmetic keeps exact parity with the reference's int dp.
+
+The device entry points (`nw_pair_scores`, `nw_best_scores`) are pure jnp
+functions, usable directly inside shard_map for multi-chip scoring
+(see parallel/score_step.py).
 """
 
 from __future__ import annotations
@@ -130,10 +134,10 @@ def nw_score_oracle(a: Sequence[Step], b: Sequence[Step]) -> int:
 # Batched device implementation
 # ---------------------------------------------------------------------------
 #
-# Encoding: ids int32 (pad -1 on reads, candidates use true length), orients
-# int8 (0='+', 1='-', 2='0').  A step matches iff id AND orientation match.
-# We fold (id, orientation) into a single int32 key = id * 4 + orient code
-# (ids are dense uIds >= 0; pads get key -1/-2 which never match).
+# Encoding: a step is one int32 key = id * 4 + orientation code
+# (0='+', 1='-', 2='0'); pads are negative and never match.
+
+ORIENT_CODE = {"+": 0, "-": 1, "0": 2}
 
 
 def _encode(ids: np.ndarray, orients: np.ndarray, pad_key: int) -> np.ndarray:
@@ -143,137 +147,170 @@ def _encode(ids: np.ndarray, orients: np.ndarray, pad_key: int) -> np.ndarray:
 
 
 def encode_steps(steps: Sequence[Step], pad_to: int, pad_key: int = -1) -> Tuple[np.ndarray, int]:
-    orient_code = {"+": 0, "-": 1, "0": 2}
     ids = np.full((pad_to,), -1, dtype=np.int32)
     orients = np.zeros((pad_to,), dtype=np.int8)
     for i, s in enumerate(steps):
         ids[i] = s.id
-        orients[i] = orient_code[s.orientation]
+        orients[i] = ORIENT_CODE[s.orientation]
     return _encode(ids, orients, pad_key), len(steps)
 
 
-@functools.lru_cache(maxsize=None)
-def _compiled_scorer(n_max: int, m_max: int):
-    """Build the jitted (A-batch x B-batch) traceback scorer for padded
-    shapes (n_max, m_max).  Returns fn(a_keys[C,n], a_len[C],
-    b_keys[R,m], b_len[R]) -> scores[C,R] int32."""
+def rc_keys_device(b_keys, b_len):
+    """Reverse-complement encoded read paths on device: reverse each row's
+    valid prefix and flip the orientation code ('-'<->'+', '0'->'+')."""
+    import jax.numpy as jnp
+
+    R, m = b_keys.shape
+    jidx = jnp.arange(m, dtype=jnp.int32)[None, :]
+    src = b_len[:, None] - 1 - jidx                    # reversed index
+    src_clamped = jnp.clip(src, 0, m - 1)
+    gathered = jnp.take_along_axis(b_keys, src_clamped, axis=1)
+    ids = gathered // 4
+    code = gathered % 4
+    flipped = jnp.where(code == 0, 1, jnp.where(code == 1, 0, 0))
+    out = ids * 4 + flipped
+    return jnp.where((src >= 0) & (gathered >= 0), out, -2).astype(jnp.int32)
+
+
+def _forward_rows(a_keys, a_len, b_keys, b_len):
+    """dp rows for one candidate against a read batch.
+
+    a_keys: (n,), b_keys: (R, m); returns dp (n+1, R, m+1) int32.
+    Each row update is elementwise work + one cummax (the horizontal
+    max-plus decay scan in closed form)."""
     import jax
     import jax.numpy as jnp
 
-    def forward_rows(a_keys, a_len, b_keys, b_len):
-        # a_keys: (n,), b_keys: (R, m); returns dp: (n+1, R, m+1) int32
-        R = b_keys.shape[0]
-        m = b_keys.shape[1]
-        jidx = jnp.arange(m + 1, dtype=jnp.int32)
-        # row 0: -j for j <= n (true candidate length), else 0
-        row0 = jnp.where(jidx <= a_len, -jidx, 0)
-        row0 = jnp.broadcast_to(row0, (R, m + 1)).astype(jnp.int32)
-        # vertical-gap vector: gap(-1) while j < b_len, free at j == b_len;
-        # padding columns j > b_len are don't-care
-        gapv = jnp.where(jidx[None, :] < b_len[:, None], -1, 0).astype(jnp.int32)
+    R, m = b_keys.shape
+    jidx = jnp.arange(m + 1, dtype=jnp.int32)
+    row0 = jnp.where(jidx <= a_len, -jidx, 0)
+    row0 = jnp.broadcast_to(row0, (R, m + 1)).astype(jnp.int32)
+    # tie the scan carry's sharding variance to the read batch so the body's
+    # output type matches under shard_map's varying-axes tracking
+    row0 = row0 + 0 * b_len[:, None].astype(jnp.int32)
+    gapv = jnp.where(jidx[None, 1:] < b_len[:, None], -1, 0).astype(jnp.int32)
 
-        def row_step(prev, a_key):
-            s = jnp.where(b_keys == a_key, 0, -1).astype(jnp.int32)  # (R, m)
-            diag = prev[:, :-1] + s
-            vert = prev[:, 1:] + gapv[:, 1:]
-            cand = jnp.maximum(diag, vert)                            # (R, m)
-            c = jnp.concatenate([jnp.zeros((R, 1), jnp.int32), cand], axis=1)
-            z = jax.lax.cummax(c + jidx[None, :], axis=1)
-            row = z - jidx[None, :]
-            return row, row
+    def row_step(prev, a_key):
+        s = jnp.where(b_keys == a_key, 0, -1).astype(jnp.int32)
+        cand = jnp.maximum(prev[:, :-1] + s, prev[:, 1:] + gapv)
+        c = jnp.concatenate([jnp.zeros((R, 1), jnp.int32), cand], axis=1)
+        z = jax.lax.cummax(c + jidx[None, :], axis=1)
+        row = z - jidx[None, :]
+        return row, row
 
-        last, rows = jax.lax.scan(row_step, row0, a_keys)
-        dp = jnp.concatenate([row0[None], rows], axis=0)  # (n+1, R, m+1)
-        return dp
+    _, rows = jax.lax.scan(row_step, row0, a_keys)
+    return jnp.concatenate([row0[None], rows], axis=0)
 
-    def traceback_scores(dp, a_keys, a_len, b_keys, b_len):
-        # dp: (n+1, R, m+1)
-        n1, R, m1 = dp.shape
-        dp_r = jnp.transpose(dp, (1, 0, 2)).reshape(R, n1 * m1)  # (R, (n+1)*(m+1))
 
-        def gather(ii, jj):
-            return jnp.take_along_axis(dp_r, (ii * m1 + jj)[:, None], axis=1)[:, 0]
+def _traceback_scores(dp, a_keys, a_len, b_keys, b_len):
+    """Vectorized traceback over the read batch; O(n+m) steps of gathers."""
+    import jax
+    import jax.numpy as jnp
 
-        def b_at(jj):
-            return jnp.take_along_axis(b_keys, jnp.maximum(jj - 1, 0)[:, None], axis=1)[:, 0]
+    n1, R, m1 = dp.shape
+    dp_r = jnp.transpose(dp, (1, 0, 2)).reshape(R, n1 * m1)
 
-        def body(_, state):
-            ii, jj, sblen, score = state
-            active = (ii > 0) | (jj > 0)
-            border_a = active & (ii == 0)             # consume B, free
-            border_b = active & (jj == 0) & (ii > 0)  # consume A, free
-            interior = active & (ii > 0) & (jj > 0)
-            a_step = a_keys[jnp.maximum(ii - 1, 0)]
-            s = jnp.where(a_step == b_at(jj), 0, -1).astype(jnp.int32)
-            diag = interior & (gather(ii, jj) == gather(ii - 1, jj - 1) + s)
-            up = interior & ~diag & (gather(ii - 1, jj) >= gather(ii, jj - 1))
-            left = interior & ~diag & ~up
-            score = score + jnp.where(diag, s, 0)
-            score = score - jnp.where(up & (sblen > 0), 1, 0)
-            score = score - jnp.where(left, 1, 0)
-            sblen = sblen + jnp.where(diag | left, 1, 0)
-            ii = ii - jnp.where(diag | up | border_b, 1, 0)
-            jj = jj - jnp.where(diag | left | border_a, 1, 0)
-            return ii, jj, sblen, score
+    def gather(ii, jj):
+        return jnp.take_along_axis(dp_r, (ii * m1 + jj)[:, None], axis=1)[:, 0]
 
-        R_ = b_len.shape[0]
-        init = (jnp.broadcast_to(a_len, (R_,)).astype(jnp.int32),
-                b_len.astype(jnp.int32),
-                jnp.zeros((R_,), jnp.int32),
-                jnp.zeros((R_,), jnp.int32))
-        n_steps = n1 - 1 + m1 - 1
-        ii, jj, sblen, score = jax.lax.fori_loop(0, n_steps, body, init)
-        return score
+    def b_at(jj):
+        return jnp.take_along_axis(b_keys, jnp.maximum(jj - 1, 0)[:, None], axis=1)[:, 0]
 
-    def one_candidate(a_keys, a_len, b_keys, b_len):
-        dp = forward_rows(a_keys, a_len, b_keys, b_len)
-        return traceback_scores(dp, a_keys, a_len, b_keys, b_len)
+    def body(_, state):
+        ii, jj, sblen, score = state
+        active = (ii > 0) | (jj > 0)
+        border_a = active & (ii == 0)             # consume B, free
+        border_b = active & (jj == 0) & (ii > 0)  # consume A, free
+        interior = active & (ii > 0) & (jj > 0)
+        a_step = a_keys[jnp.maximum(ii - 1, 0)]
+        s = jnp.where(a_step == b_at(jj), 0, -1).astype(jnp.int32)
+        diag = interior & (gather(ii, jj) == gather(ii - 1, jj - 1) + s)
+        up = interior & ~diag & (gather(ii - 1, jj) >= gather(ii, jj - 1))
+        left = interior & ~diag & ~up
+        score = score + jnp.where(diag, s, 0)
+        score = score - jnp.where(up & (sblen > 0), 1, 0)
+        score = score - jnp.where(left, 1, 0)
+        sblen = sblen + jnp.where(diag | left, 1, 0)
+        ii = ii - jnp.where(diag | up | border_b, 1, 0)
+        jj = jj - jnp.where(diag | left | border_a, 1, 0)
+        return ii, jj, sblen, score
 
-    @jax.jit
-    def scorer(a_keys, a_len, b_keys, b_len):
-        return jax.vmap(lambda ak, al: one_candidate(ak, al, b_keys, b_len))(a_keys, a_len)
+    # zero carrying both batch axes' sharding variance (see _forward_rows)
+    zero = 0 * b_len.astype(jnp.int32) + 0 * jnp.asarray(a_len, jnp.int32)
+    init = (jnp.broadcast_to(a_len, (R,)).astype(jnp.int32) + zero,
+            b_len.astype(jnp.int32) + zero,
+            zero,
+            zero)
+    _, _, _, score = jax.lax.fori_loop(0, n1 - 1 + m1 - 1, body, init)
+    return score
 
-    return scorer
+
+def nw_pair_scores(a_keys, a_len, b_keys, b_len):
+    """Traceback scores for every (candidate, read) pair — pure jnp.
+
+    a_keys: (C, n) int32, a_len: (C,), b_keys: (R, m), b_len: (R,)
+    -> (C, R) int32."""
+    import jax
+
+    def one(ak, al):
+        dp = _forward_rows(ak, al, b_keys, b_len)
+        return _traceback_scores(dp, ak, al, b_keys, b_len)
+
+    return jax.vmap(one)(a_keys, a_len)
+
+
+def nw_best_scores(a_keys, a_len, b_keys, b_len):
+    """max(forward, reverse-complement) scores — pure jnp, shard_map-safe."""
+    import jax.numpy as jnp
+
+    fw = nw_pair_scores(a_keys, a_len, b_keys, b_len)
+    rc = nw_pair_scores(a_keys, a_len, rc_keys_device(b_keys, b_len), b_len)
+    return jnp.maximum(fw, rc)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_best_scores():
+    import jax
+    return jax.jit(nw_best_scores)
+
+
+def pad_pow2(x: int, floor: int = 8) -> int:
+    return max(floor, int(2 ** np.ceil(np.log2(max(x, 1)))))
+
+
+def encode_path_batch(paths: Sequence[Sequence[Step]], pad_to: int,
+                      pad_key: int = -2) -> Tuple[np.ndarray, np.ndarray]:
+    keys = np.stack([encode_steps(p, pad_to, pad_key)[0] for p in paths]) \
+        if paths else np.zeros((0, pad_to), np.int32)
+    lens = np.array([len(p) for p in paths], dtype=np.int32)
+    return keys, lens
 
 
 def batched_best_scores(candidates: Sequence[Sequence[Step]],
                         read_paths: Sequence[Sequence[Step]],
-                        read_chunk: int = 512) -> np.ndarray:
-    """max(fw, rc) traceback score for every (candidate, read) pair.
-
-    Returns int32 array of shape (len(candidates), len(read_paths)).
-    Shapes are padded to multiples of 8 so jit caching buckets stay small.
-    """
+                        read_chunk: int = 1024) -> np.ndarray:
+    """Host wrapper: pad shapes to power-of-two buckets (bounded jit cache),
+    chunk the read batch, and return (C, R) int32 best scores."""
     if not candidates or not read_paths:
         return np.zeros((len(candidates), len(read_paths)), dtype=np.int32)
 
-    def pad_up(x: int) -> int:
-        return max(8, int(2 ** np.ceil(np.log2(max(x, 1)))))
+    n_max = pad_pow2(max(len(c) for c in candidates))
+    m_max = pad_pow2(max(len(r) for r in read_paths))
+    a_keys, a_len = encode_path_batch(
+        [[Step(*s) for s in c] for c in candidates], n_max, pad_key=-1)
+    b_keys, b_len = encode_path_batch(
+        [[Step(*s) for s in r] for r in read_paths], m_max, pad_key=-2)
 
-    n_max = pad_up(max(len(c) for c in candidates))
-    m_max = pad_up(max(len(r) for r in read_paths))
-    C = len(candidates)
-    a_keys = np.stack([encode_steps(c, n_max)[0] for c in candidates])
-    a_len = np.array([len(c) for c in candidates], dtype=np.int32)
-
-    fw = [list(map(Step._make, r)) for r in read_paths]
-    rc = [revcomp_path(r) for r in fw]
-    all_reads = fw + rc
-    b_keys = np.stack([encode_steps(r, m_max, pad_key=-2)[0] for r in all_reads])
-    b_len = np.array([len(r) for r in all_reads], dtype=np.int32)
-
-    scorer = _compiled_scorer(n_max, m_max)
-    R2 = b_keys.shape[0]
+    scorer = _jitted_best_scores()
+    R = b_keys.shape[0]
     chunk = max(8, read_chunk)
     outs = []
-    for start in range(0, R2, chunk):
+    for start in range(0, R, chunk):
         bk = b_keys[start:start + chunk]
         bl = b_len[start:start + chunk]
-        if bk.shape[0] < chunk and R2 > chunk:
+        if bk.shape[0] < chunk and R > chunk:
             padn = chunk - bk.shape[0]
             bk = np.concatenate([bk, np.full((padn, m_max), -2, np.int32)])
             bl = np.concatenate([bl, np.zeros((padn,), np.int32)])
-        outs.append(np.asarray(scorer(a_keys, a_len, bk, bl)))
-    scores2 = np.concatenate(outs, axis=1)[:, :R2]
-    R = len(read_paths)
-    return np.maximum(scores2[:, :R], scores2[:, R:]).astype(np.int32)
+        outs.append(np.asarray(scorer(a_keys, a_len, bk, bl))[:, :bl.shape[0]])
+    return np.concatenate(outs, axis=1)[:, :R].astype(np.int32)
