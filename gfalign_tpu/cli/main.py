@@ -180,6 +180,8 @@ def run(ui: UserInput) -> int:
         from ..engine.aligner import align_mode
         if ui.in_reads:
             align_mode(graph, ui.in_reads, ui.out_file, ui.preset)
+            ui.out_file = ""  # -o was the aligner's GAF; don't let the
+            # evalGFA fall-through below overwrite it with a decorated GFA
         # falls through to evalGFA behavior (reference
         # src/input-gfalign.cpp:79-82 has no break after case 0)
         mode = 1

@@ -1,0 +1,327 @@
+"""In-house sequence-to-graph aligner (the align mode).
+
+The reference shells out to GraphAligner (src/main.cpp:167-169); this engine
+is the framework's own TPU pipeline with GraphAligner-compatible GAF output
+(column contract + NM/AS/dv/id/cg tags, validated against the reference's
+testFiles/random1.gaf and random2.gaf which are aligner outputs for the
+bundled read sets).
+
+Pipeline:
+  1. enumerate oriented simple paths through the graph (both orientations;
+     maximal per start state), building merged path sequences with edge
+     overlaps dropped from the incoming segment (pLen of '>11<12>13' with
+     6M/5M overlaps = 180-11 = 169, matching random2.gaf);
+  2. score every (read x path-sequence) pair on device with the batched
+     local-alignment kernel (ops/seqalign.py);
+  3. select placements per read greedily by score over disjoint query
+     regions (supplementary split, e.g. random1's rd1 -> ctg2 + ctg1);
+  4. traceback only selected placements on host, trim the path to the
+     minimal covering subpath, and emit GAF.
+
+Records are emitted in read input order; a read's placements in descending
+score order ('best first', as the fixtures show for split reads).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..graph.model import Graph
+from ..io.fastq import encode_seq, load_reads
+from ..io.stream import OutputStream
+from ..ops import seqalign
+from ..utils.log import lg
+
+MIN_SCORE = 20          # reject spurious local hits (hifi preset)
+MAPQ = 60
+
+
+def _fmt_g(value: float) -> str:
+    """C++ %g-style float (GraphAligner tag formatting): 6 significant
+    digits, no trailing zeros."""
+    return f"{value:g}"
+
+
+def _overlap_len(cigar: str) -> int:
+    if not cigar or cigar in ("*", "."):
+        return 0
+    total = 0
+    for num, op in re.findall(r"(\d+)([MIDNSHP=X])", cigar):
+        if op in "M=XD":
+            total += int(num)
+    return total
+
+
+@dataclass
+class OrientedPath:
+    steps: List[Tuple[int, str]]          # (segment uid, orientation)
+    seq: str = ""
+    offsets: List[int] = None             # start offset of each step in seq
+    seg_lens: List[int] = None
+
+    def path_string(self, graph: Graph) -> str:
+        return "".join((">" if o == "+" else "<") + graph.segment(s).name
+                       for s, o in self.steps)
+
+
+def _oriented_seq(graph: Graph, sid: int, orientation: str) -> str:
+    from ..graph.stats import revcomp
+
+    seq = graph.segment(sid).seq
+    return seq if orientation == "+" else revcomp(seq)
+
+
+def build_path(graph: Graph, steps: List[Tuple[int, str]],
+               overlaps: List[int]) -> OrientedPath:
+    seq_parts: List[str] = []
+    offsets: List[int] = []
+    seg_lens: List[int] = []
+    pos = 0
+    for k, (sid, orientation) in enumerate(steps):
+        s = _oriented_seq(graph, sid, orientation)
+        drop = overlaps[k - 1] if k > 0 else 0
+        offsets.append(pos - drop)
+        seg_lens.append(len(s))
+        seq_parts.append(s[drop:])
+        pos += len(s) - drop
+    return OrientedPath(steps, "".join(seq_parts), offsets, seg_lens)
+
+
+def _edge_overlap(graph: Graph, s1: int, o1: str, s2: int, o2: str) -> int:
+    from ..graph.model import flip
+
+    for e in graph.links:
+        if (e.s1, e.or1, e.s2, e.or2) == (s1, o1, s2, o2):
+            return _overlap_len(e.overlap)
+        if (e.s2, flip(e.or2), e.s1, flip(e.or1)) == (s1, o1, s2, o2):
+            return _overlap_len(e.overlap)
+    return 0
+
+
+def enumerate_paths(graph: Graph, max_paths: int = 4096,
+                    max_depth: Optional[int] = None) -> List[OrientedPath]:
+    """All maximal oriented simple paths (no repeated (segment, orientation)
+    state), from every start state; contiguous subpaths of another
+    enumerated path are dropped."""
+    adj = graph.adjacency
+    n = graph.n_segments
+    max_depth = max_depth or min(2 * n, 64)
+    raw: List[List[Tuple[int, str]]] = []
+
+    def dfs(state_path: List[Tuple[int, str]], visited: set) -> None:
+        if len(raw) >= max_paths:
+            return
+        sid, orientation = state_path[-1]
+        extended = False
+        if len(state_path) < max_depth:
+            for e in adj[sid]:
+                if e.or0 != orientation:
+                    continue
+                nxt = (e.nid, e.or1)
+                if nxt in visited:
+                    continue
+                visited.add(nxt)
+                state_path.append(nxt)
+                dfs(state_path, visited)
+                state_path.pop()
+                visited.remove(nxt)
+                extended = True
+        if not extended:
+            raw.append(list(state_path))
+
+    for sid in range(n):
+        if not graph.segment(sid).seq:
+            continue
+        for orientation in "+-":
+            start = (sid, orientation)
+            dfs([start], {start})
+
+    # drop exact duplicates and contiguous subpaths
+    raw.sort(key=len, reverse=True)
+    kept: List[List[Tuple[int, str]]] = []
+    kept_strs: List[str] = []
+    for p in raw:
+        s = ";".join(f"{a}{b}" for a, b in p)
+        if any(s in ks for ks in kept_strs):
+            continue
+        kept.append(p)
+        kept_strs.append(s)
+
+    paths = []
+    for steps in kept:
+        overlaps = [
+            _edge_overlap(graph, steps[k][0], steps[k][1],
+                          steps[k + 1][0], steps[k + 1][1])
+            for k in range(len(steps) - 1)
+        ]
+        paths.append(build_path(graph, steps, overlaps))
+    lg.verbose(f"Enumerated {len(paths)} oriented paths")
+    return paths
+
+
+@dataclass
+class GafHit:
+    score: int
+    qstart: int
+    qend: int
+    path_str: str
+    plen: int
+    pstart: int
+    pend: int
+    matches: int
+    nm: int
+    blocklen: int
+    cigar: str
+
+
+def _trim_to_subpath(graph: Graph, path: OrientedPath,
+                     pstart: int, pend: int) -> Tuple[str, int, int, int]:
+    """Minimal covering subpath: steps whose [offset, offset+len) interval
+    intersects [pstart, pend).  Returns (path string, new plen, new pstart,
+    new pend)."""
+    first = last = None
+    n_steps = len(path.steps)
+    for k, off in enumerate(path.offsets):
+        lo, hi = off, off + path.seg_lens[k]
+        if not (hi > pstart and lo < pend):
+            continue
+        # overlap-region attribution: a boundary segment only counts if the
+        # alignment extends beyond the bases it shares with its neighbor
+        # (random2.gaf read5 ends exactly at the 11/12 overlap and reports
+        # '>11', not '>11<12')
+        if k > 0 and pend <= path.offsets[k - 1] + path.seg_lens[k - 1]:
+            continue
+        if k + 1 < n_steps and pstart >= path.offsets[k + 1]:
+            continue
+        if first is None:
+            first = k
+        last = k
+    if first is None:
+        first = last = 0
+    base = path.offsets[first]
+    sub_steps = path.steps[first:last + 1]
+    plen = path.offsets[last] + path.seg_lens[last] - base
+    path_str = "".join((">" if o == "+" else "<") + graph.segment(s).name
+                       for s, o in sub_steps)
+    return path_str, plen, pstart - base, pend - base
+
+
+def _cigar_str(cigar: List[Tuple[int, str]]) -> str:
+    return "".join(f"{n}{op}" for n, op in cigar)
+
+
+def align_reads(graph: Graph, reads: Sequence[Tuple[str, str]],
+                min_score: int = MIN_SCORE) -> List[Tuple[str, int, List[GafHit]]]:
+    """Returns [(read name, read length, hits sorted by descending score)]."""
+    paths = enumerate_paths(graph)
+    if not paths or not reads:
+        return [(name, len(seq), []) for name, seq in reads]
+
+    max_lr = max(len(seq) for _, seq in reads)
+    max_lp = max(len(p.seq) for p in paths)
+    R, P = len(reads), len(paths)
+    read_codes = np.full((R, max_lr), seqalign.PAD, dtype=np.int8)
+    for i, (_, seq) in enumerate(reads):
+        read_codes[i, :len(seq)] = encode_seq(seq)
+    path_codes = np.full((P, max_lp), seqalign.PAD, dtype=np.int8)
+    for i, p in enumerate(paths):
+        path_codes[i, :len(p.seq)] = encode_seq(p.seq)
+
+    all_hits: List[List[GafHit]] = [[] for _ in reads]
+    accepted: List[List[Tuple[int, int]]] = [[] for _ in reads]
+    active = list(range(R))
+    work_codes = read_codes.copy()
+    # iterative placement: a read's best placement can shadow a lower-scoring
+    # supplementary placement on the SAME path, so mask accepted query
+    # regions and re-score until nothing new qualifies (random2's read8 finds
+    # '<11' only after its '<13' region is masked)
+    for _round in range(4):
+        if not active:
+            break
+        best, bi, bj = seqalign.batched_local_scores(work_codes[active], path_codes)
+        next_active = []
+        for ai, r in enumerate(active):
+            name, seq = reads[r]
+            rcodes = work_codes[r, :len(seq)]
+            order = np.argsort(-best[ai], kind="stable")
+            placed = False
+            for pi in order:
+                if best[ai, pi] < min_score:
+                    break
+                pcodes = path_codes[pi, :len(paths[pi].seq)]
+                pl = seqalign.traceback(rcodes, pcodes,
+                                        int(bi[ai, pi]), int(bj[ai, pi]))
+                if pl.score < min_score:
+                    continue
+                if any(not (pl.qend <= a or pl.qstart >= b)
+                       for a, b in accepted[r]):
+                    continue
+                path_str, plen, ps, pe = _trim_to_subpath(
+                    graph, paths[pi], pl.pstart, pl.pend)
+                accepted[r].append((pl.qstart, pl.qend))
+                blocklen = sum(n for n, _ in pl.cigar)
+                all_hits[r].append(GafHit(pl.score, pl.qstart, pl.qend,
+                                          path_str, plen, ps, pe, pl.matches,
+                                          pl.nm, blocklen, _cigar_str(pl.cigar)))
+                placed = True
+            if placed:
+                for a, b in accepted[r]:
+                    work_codes[r, a:b] = seqalign.PAD
+                uncovered = _longest_uncovered(len(seq), accepted[r])
+                if uncovered >= min_score:
+                    next_active.append(r)
+        active = next_active
+
+    out = []
+    for r, (name, seq) in enumerate(reads):
+        hits = sorted(all_hits[r], key=lambda h: -h.score)
+        out.append((name, len(seq), hits))
+    return out
+
+
+def _longest_uncovered(qlen: int, intervals: List[Tuple[int, int]]) -> int:
+    covered = sorted(intervals)
+    longest = 0
+    pos = 0
+    for a, b in covered:
+        longest = max(longest, a - pos)
+        pos = max(pos, b)
+    return max(longest, qlen - pos)
+
+
+def emit_gaf(results, write) -> None:
+    for name, qlen, hits in results:
+        for h in hits:
+            as_score = h.blocklen - 2.94 * h.nm
+            dv = h.nm / h.blocklen if h.blocklen else 0.0
+            ident = h.matches / h.blocklen if h.blocklen else 0.0
+            write("\t".join([
+                name, str(qlen), str(h.qstart), str(h.qend), "+",
+                h.path_str, str(h.plen), str(h.pstart), str(h.pend),
+                str(h.matches), str(h.blocklen), str(MAPQ),
+                f"NM:i:{h.nm}", f"AS:f:{_fmt_g(as_score)}", f"dv:f:{_fmt_g(dv)}",
+                f"id:f:{_fmt_g(ident)}", f"cg:Z:{h.cigar}",
+            ]) + "\n")
+
+
+def run_graph_aligner(graph: Graph, read_files, out_file: str,
+                      preset: str = "hifi") -> None:
+    if graph is None:
+        print("align: missing input graph (-f)", file=sys.stderr)
+        raise SystemExit(1)
+    reads = load_reads(read_files)
+    min_score = MIN_SCORE if preset != "CLR" else 50
+    results = align_reads(graph, reads, min_score)
+    n_hits = sum(len(h) for _, _, h in results)
+    lg.verbose(f"Aligned {len(reads)} reads: {n_hits} records")
+    if out_file:
+        stream = OutputStream(out_file)
+        emit_gaf(results, stream.write)
+        stream.close()
+    else:
+        emit_gaf(results, sys.stdout.write)

@@ -1,0 +1,164 @@
+"""Base-level local alignment (Smith-Waterman, linear gap) for the align
+mode — the capability the reference outsources to GraphAligner
+(reference src/main.cpp:167-169).
+
+Device/host split designed for TPU throughput:
+  * the O(Lr x Lp) forward scoring runs on device, batched over
+    (reads x candidate path sequences); the per-row horizontal dependency is
+    the same associative max-plus decay scan as the path-NW kernel, so each
+    row is elementwise work + one cummax;
+  * only the selected placements (a handful per read) are tracebacked, on
+    host, by recomputing the single pair's small DP — the classic
+    score-on-accelerator / traceback-on-host split.
+
+Scoring: match +1, mismatch -2, gap -3 (linear).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+
+MATCH = 1
+MISMATCH = -2
+GAP = -3
+
+
+class Placement(NamedTuple):
+    score: int
+    qstart: int
+    qend: int
+    pstart: int
+    pend: int
+    cigar: List[Tuple[int, str]]   # [(run_length, op)] ops: = X I D
+    matches: int
+    nm: int
+
+
+PAD = 5       # padding sentinel; code 4 = N (aligns as mismatch)
+_BLOCK = -1000  # padding must never extend an alignment
+
+
+def _subs(r_char, p_codes):
+    import jax.numpy as jnp
+
+    is_pad = (r_char == PAD)[..., None] | (p_codes == PAD)
+    match = ((r_char < 4)[..., None]) & (p_codes < 4) & (r_char[..., None] == p_codes)
+    return jnp.where(is_pad, _BLOCK,
+                     jnp.where(match, MATCH, MISMATCH)).astype(jnp.int32)
+
+
+def local_forward(read_codes, path_codes):
+    """Best local alignment cell for every (read, path) pair.
+
+    read_codes: (R, Lr) int8 (0-3 bases, >=4 pad)
+    path_codes: (P, Lp) int8
+    returns (best, best_i, best_j): each (R, P) int32; best_i/best_j are the
+    END cell (1-based DP indices) of the maximum-scoring local alignment.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    R, Lr = read_codes.shape
+    P, Lp = path_codes.shape
+    jidx = jnp.arange(Lp + 1, dtype=jnp.int32)
+    gj = GAP * jidx  # decay offsets for the cummax trick
+
+    def row_step(carry, r_chars):
+        H, best, bi, bj, i = carry
+        s = _subs(r_chars[:, None], path_codes[None, :, :])        # (R,P,Lp)
+        c = jnp.maximum(0, jnp.maximum(H[:, :, :-1] + s, H[:, :, 1:] + GAP))
+        c0 = jnp.concatenate([jnp.zeros((R, P, 1), jnp.int32), c], axis=2)
+        z = jax.lax.cummax(c0 - gj[None, None, :], axis=2)
+        Hn = z + gj[None, None, :]
+        row_best = Hn.max(axis=2)
+        row_arg = Hn.argmax(axis=2).astype(jnp.int32)
+        improved = row_best > best
+        best = jnp.where(improved, row_best, best)
+        bi = jnp.where(improved, i + 1, bi)
+        bj = jnp.where(improved, row_arg, bj)
+        return (Hn, best, bi, bj, i + 1), None
+
+    H0 = jnp.zeros((R, P, Lp + 1), jnp.int32)
+    best0 = jnp.zeros((R, P), jnp.int32)
+    zero = jnp.zeros((R, P), jnp.int32)
+    (H, best, bi, bj, _), _ = jax.lax.scan(
+        row_step, (H0, best0, zero, zero, jnp.int32(0)),
+        jnp.transpose(read_codes.astype(jnp.int32)))
+    return best, bi, bj
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_forward():
+    import jax
+    return jax.jit(local_forward)
+
+
+def batched_local_scores(read_codes: np.ndarray, path_codes: np.ndarray):
+    fn = _jitted_forward()
+    best, bi, bj = fn(read_codes, path_codes)
+    return np.asarray(best), np.asarray(bi), np.asarray(bj)
+
+
+# ---------------------------------------------------------------------------
+# Host traceback for a selected (read, path) pair
+# ---------------------------------------------------------------------------
+
+
+def _matrix(read: np.ndarray, path: np.ndarray) -> np.ndarray:
+    Lr, Lp = len(read), len(path)
+    H = np.zeros((Lr + 1, Lp + 1), dtype=np.int32)
+    for i in range(1, Lr + 1):
+        rc = read[i - 1]
+        sub = np.where((path == PAD) | (rc == PAD), _BLOCK,
+                       np.where((path < 4) & (rc < 4) & (path == rc), MATCH, MISMATCH))
+        row = H[i]
+        prev = H[i - 1]
+        c = np.maximum(0, np.maximum(prev[:-1] + sub, prev[1:] + GAP))
+        run = 0
+        for j in range(1, Lp + 1):
+            run = max(c[j - 1], run + GAP)
+            row[j] = run
+    return H
+
+
+def traceback(read: np.ndarray, path: np.ndarray,
+              end_i: int, end_j: int) -> Placement:
+    """Recompute the pair DP and walk back from (end_i, end_j) to H==0."""
+    H = _matrix(read, path)
+    i, j = end_i, end_j
+    score = int(H[i, j])
+    ops: List[str] = []
+    matches = 0
+    nm = 0
+    while i > 0 and j > 0 and H[i, j] > 0:
+        sub = MATCH if (read[i - 1] == path[j - 1] and read[i - 1] < 4) else MISMATCH
+        if H[i, j] == H[i - 1, j - 1] + sub:
+            if sub == MATCH:
+                ops.append("=")
+                matches += 1
+            else:
+                ops.append("X")
+                nm += 1
+            i -= 1
+            j -= 1
+        elif H[i, j] == H[i - 1, j] + GAP:
+            ops.append("I")
+            nm += 1
+            i -= 1
+        elif H[i, j] == H[i, j - 1] + GAP:
+            ops.append("D")
+            nm += 1
+            j -= 1
+        else:  # local start (c floored at 0 mid-row)
+            break
+    ops.reverse()
+    cigar: List[Tuple[int, str]] = []
+    for op in ops:
+        if cigar and cigar[-1][1] == op:
+            cigar[-1] = (cigar[-1][0] + 1, op)
+        else:
+            cigar.append((1, op))
+    return Placement(score, i, end_i, j, end_j, cigar, matches, nm)

@@ -1,0 +1,56 @@
+"""align-mode golden tests: the in-house aligner must reproduce the
+reference's bundled GAF files (which are aligner outputs for the bundled
+read sets) byte-for-byte, plus robustness probes."""
+
+import io
+
+import pytest
+
+from .conftest import REFERENCE
+
+pytestmark = pytest.mark.skipif(not (REFERENCE / "testFiles").is_dir(),
+                                reason="reference fixtures not mounted")
+
+
+def run_align(gfa, fq):
+    from gfalign_tpu.engine.graph_align import align_reads, emit_gaf
+    from gfalign_tpu.io.fastq import load_reads
+    from gfalign_tpu.io.gfa import read_gfa
+
+    graph = read_gfa(str(gfa))
+    reads = load_reads(str(fq))
+    results = align_reads(graph, reads)
+    buf = io.StringIO()
+    emit_gaf(results, buf.write)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", ["random1", "random2"])
+def test_align_reproduces_reference_gaf(name):
+    got = run_align(REFERENCE / "testFiles" / f"{name}.gfa",
+                    REFERENCE / "testFiles" / f"{name}.reads.fq")
+    want = (REFERENCE / "testFiles" / f"{name}.gaf").read_text()
+    assert got == want
+
+
+def test_align_no_spurious_hits(tmp_path):
+    fq = tmp_path / "junk.fq"
+    fq.write_text("@junk\n" + "A" * 5 + "\n+\n" + "!" * 5 + "\n")
+    got = run_align(REFERENCE / "testFiles" / "random2.gfa", fq)
+    assert got == ""  # below min score -> no records
+
+
+def test_align_read_with_n(tmp_path):
+    # seg11 with two N's: still one full-length placement on >11
+    from gfalign_tpu.io.gfa import read_gfa
+    graph = read_gfa(str(REFERENCE / "testFiles" / "random2.gfa"))
+    seq = list(graph.segment(graph.name_to_id["11"]).seq)
+    seq[10] = "N"
+    seq[30] = "N"
+    fq = tmp_path / "n.fq"
+    fq.write_text("@nn\n" + "".join(seq) + "\n+\n" + "!" * len(seq) + "\n")
+    got = run_align(REFERENCE / "testFiles" / "random2.gfa", fq)
+    lines = [l for l in got.splitlines() if l]
+    assert len(lines) == 1
+    cols = lines[0].split("\t")
+    assert cols[5] == ">11" and cols[12] == "NM:i:2"
