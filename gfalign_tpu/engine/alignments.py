@@ -23,7 +23,7 @@ Byte-parity quirks intentionally reproduced (all observable in the goldens):
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -34,6 +34,19 @@ from ..utils.log import lg
 
 _U32 = 1 << 32
 _PATH_TOKEN = re.compile(r"[><][^><]+")
+
+
+def _parse_tagtail(tail: str) -> List[Tuple[str, str, str]]:
+    """Typed tags from the raw text after column 12.  Like the reference,
+    only the third ':'-field survives as content (src/alignments.cpp:223-227)."""
+    tags = []
+    if not tail:
+        return tags
+    for col in tail.split("\t"):
+        parts = col.split(":")
+        if len(parts) >= 2 and parts[0] and parts[1]:
+            tags.append((parts[0][:2], parts[1][0], parts[2] if len(parts) > 2 else ""))
+    return tags
 
 
 @dataclass
@@ -50,21 +63,23 @@ class GafRecord:
     matches: int
     blocklen: int
     mapq: int
-    tags: List[Tuple[str, str, str]] = field(default_factory=list)
+    tagtail: str = ""      # raw tag text; parsed lazily
     pos: int = 0
+    _tags: Optional[List[Tuple[str, str, str]]] = None
+
+    @property
+    def tags(self) -> List[Tuple[str, str, str]]:
+        if self._tags is None:
+            self._tags = _parse_tagtail(self.tagtail)
+        return self._tags
 
     @classmethod
     def from_line(cls, line: str, pos: int = 0) -> "GafRecord":
         cols = line.split("\t")
-        tags = []
-        for col in cols[12:]:
-            parts = col.split(":")
-            # the reference keeps only the third ':'-field as content
-            # (src/alignments.cpp:223-227)
-            tags.append((parts[0][:2], parts[1][0], parts[2] if len(parts) > 2 else ""))
+        tail = "\t".join(cols[12:]) if len(cols) > 12 else ""
         return cls(cols[0], int(cols[1]), int(cols[2]), int(cols[3]), cols[4][0],
                    cols[5], int(cols[6]), int(cols[7]), int(cols[8]), int(cols[9]),
-                   int(cols[10]), int(cols[11]), tags, pos)
+                   int(cols[10]), int(cols[11]), tail, pos)
 
     def to_line(self) -> str:
         parts = [self.qname, str(self.qlen), str(self.qstart), str(self.qend),
@@ -113,18 +128,52 @@ class AlignmentSet:
     # -- load ------------------------------------------------------------
 
     def load(self, path: str, terminal_flag: bool = False) -> None:
-        from ..io.stream import iter_lines
-
         self.terminal_flag = terminal_flag
-        pos = 0
-        for line in iter_lines(path):
-            if not line:
-                continue
-            rec = GafRecord.from_line(line, pos)
-            pos += 1
-            self.records.append(rec)
-            self._accumulate(rec)
+        if not self._load_native(path):
+            from ..io.stream import iter_lines
+
+            pos = 0
+            for line in iter_lines(path):
+                if not line:
+                    continue
+                rec = GafRecord.from_line(line, pos)
+                pos += 1
+                self.records.append(rec)
+                self._accumulate(rec)
         lg.verbose(f"Loaded {len(self.records)} alignments from {path}")
+
+    def _load_native(self, path: str) -> bool:
+        """Fast path: multithreaded C++ columnar parse (io/native.py)."""
+        import os
+
+        from ..io import native
+
+        if path == "-" or not os.path.isfile(path):
+            return False
+        with open(path, "rb") as probe:
+            if probe.read(2) == b"\x1f\x8b":  # gzip -> python path
+                return False
+        parsed = native.parse_gaf(path)
+        if parsed is None:
+            return False
+        numeric, qnames, paths, tails = parsed
+        for i in range(len(qnames)):
+            row = numeric[i]
+            self.records.append(GafRecord(
+                qnames[i], int(row[0]), int(row[1]), int(row[2]),
+                "-" if row[3] else "+", paths[i], int(row[4]), int(row[5]),
+                int(row[6]), int(row[7]), int(row[8]), int(row[9]),
+                tails[i], i))
+        if len(qnames):
+            self.tot_qlen += int(numeric[:, 0].sum())
+            self.tot_algseq += int((numeric[:, 2] - numeric[:, 1]).sum())
+            self.tot_minus += int(numeric[:, 3].sum())
+            self.tot_plus += len(qnames) - int(numeric[:, 3].sum())
+            self.tot_plen += int(numeric[:, 4].sum())
+            self.tot_matches += int(numeric[:, 7].sum())
+            self.tot_blocklen += int(numeric[:, 8].sum())
+            self.tot_mapq += int(numeric[:, 9].sum())
+        return True
 
     def _accumulate(self, rec: GafRecord) -> None:
         self.tot_qlen += rec.qlen

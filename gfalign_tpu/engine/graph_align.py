@@ -243,7 +243,13 @@ def align_reads(graph: Graph, reads: Sequence[Tuple[str, str]],
     for _round in range(4):
         if not active:
             break
-        best, bi, bj = seqalign.batched_local_scores(work_codes[active], path_codes)
+        # pad the active batch to a power-of-2 bucket so every round reuses
+        # one compiled shape (tunnel-TPU compiles are ~30s each)
+        bucket = max(8, 1 << (len(active) - 1).bit_length())
+        batch = np.full((bucket, max_lr), seqalign.PAD, dtype=np.int8)
+        batch[:len(active)] = work_codes[active]
+        best, bi, bj = seqalign.batched_local_scores(batch, path_codes)
+        best, bi, bj = best[:len(active)], bi[:len(active)], bj[:len(active)]
         next_active = []
         for ai, r in enumerate(active):
             name, seq = reads[r]

@@ -60,9 +60,21 @@ def iter_reads(path: str) -> Iterator[Tuple[str, str]]:
 
 
 def load_reads(paths) -> List[Tuple[str, str]]:
+    import os
+
+    from . import native
+
     reads: List[Tuple[str, str]] = []
     if isinstance(paths, str):
         paths = [paths]
     for p in paths:
+        if p != "-" and os.path.isfile(p):
+            with open(p, "rb") as probe:
+                gz = probe.read(2) == b"\x1f\x8b"
+            if not gz:
+                parsed = native.parse_fastx(p)
+                if parsed is not None:
+                    reads.extend(parsed)
+                    continue
         reads.extend(iter_reads(p))
     return reads

@@ -1,0 +1,120 @@
+"""ctypes bindings for the native host runtime (libgfalign_host.so).
+
+The shared library is built lazily on first use (`make -C gfalign_tpu/native`)
+and every entry point has a pure-Python fallback, so the framework works
+without a toolchain; with it, GAF/FASTQ parsing is multithreaded C++
+(equality with the Python parsers is tested in tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DIR = pathlib.Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _DIR / "libgfalign_host.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(["make", "-C", str(_DIR)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.gaf_open.restype = ctypes.c_void_p
+    lib.gaf_open.argtypes = [ctypes.c_char_p]
+    lib.gaf_count.restype = ctypes.c_int64
+    lib.gaf_count.argtypes = [ctypes.c_void_p]
+    lib.gaf_numeric.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.gaf_numeric.argtypes = [ctypes.c_void_p]
+    lib.gaf_strings.restype = ctypes.c_void_p
+    lib.gaf_strings.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                ctypes.POINTER(ctypes.c_int64)]
+    lib.gaf_close.argtypes = [ctypes.c_void_p]
+    lib.fq_open.restype = ctypes.c_void_p
+    lib.fq_open.argtypes = [ctypes.c_char_p]
+    lib.fq_count.restype = ctypes.c_int64
+    lib.fq_count.argtypes = [ctypes.c_void_p]
+    lib.fq_names.restype = ctypes.c_void_p
+    lib.fq_names.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.fq_seq_blob.restype = ctypes.c_void_p
+    lib.fq_seq_blob.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.fq_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _blob_to_list(ptr: int, length: int) -> List[str]:
+    if length == 0:
+        return []
+    raw = ctypes.string_at(ptr, length).decode("utf-8", errors="replace")
+    parts = raw.split("\n")
+    if parts and parts[-1] == "":
+        parts.pop()
+    return parts
+
+
+def parse_gaf(path: str):
+    """(numeric (N,10) int64, qnames, paths, tagtails) or None.
+
+    numeric columns: qlen qstart qend strand plen pstart pend matches
+    blocklen mapq (strand: 0='+', 1='-')."""
+    lib = _load()
+    if lib is None:
+        return None
+    handle = lib.gaf_open(str(path).encode())
+    if not handle:
+        return None
+    try:
+        count = lib.gaf_count(handle)
+        numeric = np.ctypeslib.as_array(lib.gaf_numeric(handle),
+                                        shape=(count, 10)).copy()
+        out_len = ctypes.c_int64()
+        qnames = _blob_to_list(lib.gaf_strings(handle, 0, ctypes.byref(out_len)),
+                               out_len.value)
+        paths = _blob_to_list(lib.gaf_strings(handle, 1, ctypes.byref(out_len)),
+                              out_len.value)
+        tails = _blob_to_list(lib.gaf_strings(handle, 2, ctypes.byref(out_len)),
+                              out_len.value)
+        return numeric, qnames, paths, tails
+    finally:
+        lib.gaf_close(handle)
+
+
+def parse_fastx(path: str) -> Optional[List[Tuple[str, str]]]:
+    lib = _load()
+    if lib is None:
+        return None
+    handle = lib.fq_open(str(path).encode())
+    if not handle:
+        return None
+    try:
+        out_len = ctypes.c_int64()
+        names = _blob_to_list(lib.fq_names(handle, ctypes.byref(out_len)),
+                              out_len.value)
+        seqs = _blob_to_list(lib.fq_seq_blob(handle, ctypes.byref(out_len)),
+                             out_len.value)
+        if len(names) != len(seqs):
+            return None
+        return list(zip(names, seqs))
+    finally:
+        lib.fq_close(handle)

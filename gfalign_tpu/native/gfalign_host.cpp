@@ -1,0 +1,232 @@
+// Native host runtime: columnar GAF + FASTQ parsing.
+//
+// TPU-native equivalent of the reference's gfalibs data-loading layer
+// (batched multithreaded GAF load, reference src/alignments.cpp:143-235):
+// the file is memory-loaded once, split at line boundaries into one chunk
+// per hardware thread, parsed in parallel into columnar buffers, and merged
+// in input order (deterministic, unlike the reference's thread-completion
+// order append — SURVEY.md section 4 quirk 9a).
+//
+// Exposed C ABI (ctypes):
+//   gaf_open(path)        -> handle (NULL on failure)
+//   gaf_count(h)          -> number of records
+//   gaf_numeric(h)        -> int64[count*10]: qlen qstart qend strand plen
+//                            pstart pend matches blocklen mapq (row-major)
+//   gaf_strings(h, which, &len) -> '\n'-joined blob: 0=qname 1=path 2=tagtail
+//   gaf_close(h)
+//   fq_open(path) / fq_count / fq_names / fq_seq_blob / fq_close
+//
+// Build: make -C gfalign_tpu/native   (produces libgfalign_host.so)
+
+#include <cstdint>
+#include <cstring>
+#include <fstream>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct GafData {
+  std::vector<int64_t> numeric;  // 10 per record
+  std::string qnames;            // '\n'-joined
+  std::string paths;
+  std::string tagtails;          // raw text after column 12 ('' if none)
+  int64_t count = 0;
+};
+
+struct FqData {
+  std::string names;
+  std::string seqs;
+  int64_t count = 0;
+};
+
+bool read_file(const char* path, std::string& out) {
+  std::ifstream in(path, std::ios::binary | std::ios::ate);
+  if (!in) return false;
+  std::streamsize size = in.tellg();
+  in.seekg(0);
+  out.resize(static_cast<size_t>(size));
+  return size == 0 || static_cast<bool>(in.read(&out[0], size));
+}
+
+// Parse [begin, end) of the buffer (whole lines) into one chunk.
+void parse_gaf_chunk(const char* buf, size_t begin, size_t end, GafData* out) {
+  size_t pos = begin;
+  while (pos < end) {
+    size_t eol = pos;
+    while (eol < end && buf[eol] != '\n') eol++;
+    size_t len = eol - pos;
+    if (len > 0 && buf[pos + len - 1] == '\r') len--;
+    if (len > 0) {
+      // split first 12 tab-separated columns; keep the rest as the tag tail
+      const char* p = buf + pos;
+      size_t cols[13];  // start offset of each column (within line)
+      int ncols = 1;
+      cols[0] = 0;
+      for (size_t i = 0; i < len && ncols < 13; i++) {
+        if (p[i] == '\t') cols[ncols++] = i + 1;
+      }
+      if (ncols >= 12) {
+        auto col_str = [&](int c) -> std::pair<const char*, size_t> {
+          size_t s = cols[c];
+          size_t e = (c + 1 < ncols) ? cols[c + 1] - 1 : len;
+          return {p + s, e - s};
+        };
+        auto col_int = [&](int c) -> int64_t {
+          auto [s, n] = col_str(c);
+          int64_t v = 0;
+          bool neg = n > 0 && s[0] == '-';
+          for (size_t i = neg ? 1 : 0; i < n; i++) {
+            if (s[i] < '0' || s[i] > '9') break;
+            v = v * 10 + (s[i] - '0');
+          }
+          return neg ? -v : v;
+        };
+        auto [qn, qn_len] = col_str(0);
+        auto [pa, pa_len] = col_str(5);
+        auto [st, st_len] = col_str(4);
+        out->qnames.append(qn, qn_len);
+        out->qnames.push_back('\n');
+        out->paths.append(pa, pa_len);
+        out->paths.push_back('\n');
+        if (ncols == 13) {
+          size_t s = cols[12];
+          out->tagtails.append(p + s, len - s);
+        }
+        out->tagtails.push_back('\n');
+        out->numeric.push_back(col_int(1));                      // qlen
+        out->numeric.push_back(col_int(2));                      // qstart
+        out->numeric.push_back(col_int(3));                      // qend
+        out->numeric.push_back(st_len > 0 && st[0] == '-' ? 1 : 0);  // strand
+        out->numeric.push_back(col_int(6));                      // plen
+        out->numeric.push_back(col_int(7));                      // pstart
+        out->numeric.push_back(col_int(8));                      // pend
+        out->numeric.push_back(col_int(9));                      // matches
+        out->numeric.push_back(col_int(10));                     // blocklen
+        out->numeric.push_back(col_int(11));                     // mapq
+        out->count++;
+      }
+    }
+    pos = eol + 1;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+GafData* gaf_open(const char* path) {
+  std::string buf;
+  if (!read_file(path, buf)) return nullptr;
+  size_t n = buf.size();
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t n_chunks = hw ? hw : 4;
+  if (n < (1u << 20)) n_chunks = 1;  // small files: skip thread overhead
+  std::vector<size_t> bounds;
+  bounds.push_back(0);
+  for (size_t c = 1; c < n_chunks; c++) {
+    size_t b = n * c / n_chunks;
+    while (b < n && buf[b] != '\n') b++;
+    if (b < n) b++;
+    bounds.push_back(b);
+  }
+  bounds.push_back(n);
+  std::vector<GafData> chunks(bounds.size() - 1);
+  std::vector<std::thread> threads;
+  for (size_t c = 0; c + 1 < bounds.size(); c++) {
+    threads.emplace_back(parse_gaf_chunk, buf.data(), bounds[c], bounds[c + 1],
+                         &chunks[c]);
+  }
+  for (auto& t : threads) t.join();
+  GafData* out = new GafData();
+  for (auto& ch : chunks) {  // merge preserves input order
+    out->numeric.insert(out->numeric.end(), ch.numeric.begin(), ch.numeric.end());
+    out->qnames += ch.qnames;
+    out->paths += ch.paths;
+    out->tagtails += ch.tagtails;
+    out->count += ch.count;
+  }
+  return out;
+}
+
+int64_t gaf_count(GafData* h) { return h->count; }
+const int64_t* gaf_numeric(GafData* h) { return h->numeric.data(); }
+
+const char* gaf_strings(GafData* h, int which, int64_t* len) {
+  const std::string* s =
+      which == 0 ? &h->qnames : which == 1 ? &h->paths : &h->tagtails;
+  *len = static_cast<int64_t>(s->size());
+  return s->data();
+}
+
+void gaf_close(GafData* h) { delete h; }
+
+// ---------------------------------------------------------------- FASTQ/A
+
+FqData* fq_open(const char* path) {
+  std::string buf;
+  if (!read_file(path, buf)) return nullptr;
+  FqData* out = new FqData();
+  size_t n = buf.size(), pos = 0;
+  bool fasta = n > 0 && buf[0] == '>';
+  std::string pending;
+  bool in_fasta_seq = false;
+  while (pos < n) {
+    size_t eol = pos;
+    while (eol < n && buf[eol] != '\n') eol++;
+    size_t len = eol - pos;
+    if (len > 0 && buf[pos + len - 1] == '\r') len--;
+    if (len > 0) {
+      const char* p = buf.data() + pos;
+      if (!fasta && p[0] == '@') {
+        out->names.append(p + 1, len - 1);
+        out->names.push_back('\n');
+        // sequence line
+        pos = eol + 1;
+        eol = pos;
+        while (eol < n && buf[eol] != '\n') eol++;
+        len = eol - pos;
+        if (len > 0 && buf[pos + len - 1] == '\r') len--;
+        out->seqs.append(buf.data() + pos, len);
+        out->seqs.push_back('\n');
+        out->count++;
+        // skip '+' line and quality line
+        for (int skip = 0; skip < 2; skip++) {
+          pos = eol + 1;
+          eol = pos;
+          while (eol < n && buf[eol] != '\n') eol++;
+        }
+      } else if (fasta && p[0] == '>') {
+        if (in_fasta_seq) {
+          out->seqs.push_back('\n');
+        }
+        out->names.append(p + 1, len - 1);
+        out->names.push_back('\n');
+        out->count++;
+        in_fasta_seq = true;
+      } else if (fasta && in_fasta_seq) {
+        out->seqs.append(p, len);
+      }
+    }
+    pos = eol + 1;
+  }
+  if (fasta && in_fasta_seq) out->seqs.push_back('\n');
+  return out;
+}
+
+int64_t fq_count(FqData* h) { return h->count; }
+
+const char* fq_names(FqData* h, int64_t* len) {
+  *len = static_cast<int64_t>(h->names.size());
+  return h->names.data();
+}
+
+const char* fq_seq_blob(FqData* h, int64_t* len) {
+  *len = static_cast<int64_t>(h->seqs.size());
+  return h->seqs.data();
+}
+
+void fq_close(FqData* h) { delete h; }
+
+}  // extern "C"

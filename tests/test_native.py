@@ -1,0 +1,66 @@
+"""Native C++ loader vs pure-Python parser equality."""
+
+import numpy as np
+import pytest
+
+from .conftest import REFERENCE
+
+from gfalign_tpu.io import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+fixtures = pytest.mark.skipif(not (REFERENCE / "testFiles").is_dir(),
+                              reason="reference fixtures not mounted")
+
+
+@fixtures
+@pytest.mark.parametrize("name", ["random1", "random2", "random3"])
+def test_native_gaf_matches_python(name):
+    from gfalign_tpu.engine.alignments import AlignmentSet, GafRecord
+    from gfalign_tpu.io.stream import iter_lines
+
+    path = str(REFERENCE / "testFiles" / f"{name}.gaf")
+    numeric, qnames, paths, tails = native.parse_gaf(path)
+    py_records = [GafRecord.from_line(l) for l in iter_lines(path) if l]
+    assert len(qnames) == len(py_records)
+    for i, rec in enumerate(py_records):
+        assert qnames[i] == rec.qname
+        assert paths[i] == rec.path
+        assert tails[i] == rec.tagtail
+        row = numeric[i]
+        assert [int(v) for v in row] == [
+            rec.qlen, rec.qstart, rec.qend, 0 if rec.strand == "+" else 1,
+            rec.plen, rec.pstart, rec.pend, rec.matches, rec.blocklen, rec.mapq]
+
+    # AlignmentSet native fast path produces identical records + stats
+    a_native = AlignmentSet()
+    a_native.load(path)
+    a_py = AlignmentSet()
+    for i, line in enumerate(l for l in iter_lines(path) if l):
+        rec = GafRecord.from_line(line, i)
+        a_py.records.append(rec)
+        a_py._accumulate(rec)
+    assert [r.to_line() for r in a_native.records] == [r.to_line() for r in a_py.records]
+    for attr in ("tot_qlen", "tot_algseq", "tot_plus", "tot_minus", "tot_plen",
+                 "tot_mapq", "tot_matches", "tot_blocklen"):
+        assert getattr(a_native, attr) == getattr(a_py, attr), attr
+
+
+@fixtures
+@pytest.mark.parametrize("name", ["random1", "random2"])
+def test_native_fastq_matches_python(name):
+    from gfalign_tpu.io.fastq import iter_reads
+
+    path = str(REFERENCE / "testFiles" / f"{name}.reads.fq")
+    assert native.parse_fastx(path) == list(iter_reads(path))
+
+
+def test_native_fasta(tmp_path):
+    fa = tmp_path / "x.fa"
+    fa.write_text(">a desc\nACGT\nTTGG\n>b\nCCC\n")
+    assert native.parse_fastx(str(fa)) == [("a desc", "ACGTTTGG"), ("b", "CCC")]
+
+
+def test_native_missing_file():
+    assert native.parse_gaf("/nonexistent/x.gaf") is None
