@@ -127,22 +127,30 @@ class AlignmentSet:
 
     # -- load ------------------------------------------------------------
 
-    def load(self, path: str, terminal_flag: bool = False) -> None:
+    def load(self, path: str, terminal_flag: bool = False,
+             shard: Optional[Tuple[int, int]] = None) -> None:
+        """Load a GAF file.  `shard=(process_index, process_count)` keeps
+        only records with index % count == index — the multi-host input
+        contract (parallel/dist.py); totals then cover the local shard and
+        are merged with allreduce_stats."""
         self.terminal_flag = terminal_flag
-        if not self._load_native(path):
+        if not self._load_native(path, shard):
             from ..io.stream import iter_lines
 
             pos = 0
             for line in iter_lines(path):
                 if not line:
                     continue
-                rec = GafRecord.from_line(line, pos)
+                idx = pos
                 pos += 1
+                if shard and idx % shard[1] != shard[0]:
+                    continue
+                rec = GafRecord.from_line(line, idx)
                 self.records.append(rec)
                 self._accumulate(rec)
         lg.verbose(f"Loaded {len(self.records)} alignments from {path}")
 
-    def _load_native(self, path: str) -> bool:
+    def _load_native(self, path: str, shard: Optional[Tuple[int, int]] = None) -> bool:
         """Fast path: multithreaded C++ columnar parse (io/native.py)."""
         import os
 
@@ -157,6 +165,12 @@ class AlignmentSet:
         if parsed is None:
             return False
         numeric, qnames, paths, tails = parsed
+        if shard:
+            keep = list(range(shard[0], len(qnames), shard[1]))
+            numeric = numeric[keep]
+            qnames = [qnames[i] for i in keep]
+            paths = [paths[i] for i in keep]
+            tails = [tails[i] for i in keep]
         for i in range(len(qnames)):
             row = numeric[i]
             self.records.append(GafRecord(

@@ -356,9 +356,25 @@ def nw_best_scores(a_keys, a_len, b_keys, b_len):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_best_scores():
+def _jitted_best_scores(use_pallas: bool = False):
     import jax
+
+    if use_pallas:
+        from .nw_pallas import nw_best_scores_pallas
+
+        return jax.jit(nw_best_scores_pallas)
     return jax.jit(nw_best_scores)
+
+
+def _pallas_eligible() -> bool:
+    """Use the Pallas forward on real TPU backends (~15-20% faster than the
+    XLA row formulation); read batches are padded to TILE_R multiples."""
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def pad_pow2(x: int, floor: int = 8) -> int:
@@ -388,15 +404,21 @@ def batched_best_scores(candidates: Sequence[Sequence[Step]],
     b_keys, b_len = encode_path_batch(
         [[Step(*s) for s in r] for r in read_paths], m_max, pad_key=-2)
 
-    scorer = _jitted_best_scores()
     R = b_keys.shape[0]
     chunk = max(8, read_chunk)
+    use_pallas = _pallas_eligible()
+    if use_pallas:
+        chunk = max(128, (chunk // 128) * 128)
+    scorer = _jitted_best_scores(use_pallas)
     outs = []
     for start in range(0, R, chunk):
         bk = b_keys[start:start + chunk]
         bl = b_len[start:start + chunk]
-        if bk.shape[0] < chunk and R > chunk:
-            padn = chunk - bk.shape[0]
+        want = chunk if (R > chunk or use_pallas) else bk.shape[0]
+        if use_pallas and want % 128:
+            want = -(-want // 128) * 128
+        if bk.shape[0] < want:
+            padn = want - bk.shape[0]
             bk = np.concatenate([bk, np.full((padn, m_max), -2, np.int32)])
             bl = np.concatenate([bl, np.zeros((padn,), np.int32)])
         outs.append(np.asarray(scorer(a_keys, a_len, bk, bl))[:, :bl.shape[0]])

@@ -87,3 +87,24 @@ def test_alignment_rows_pair_up():
     # every read step appears in order in the B row
     b_real = [s for s in aln.b if s.id != -1]
     assert b_real == read
+
+
+def test_pallas_kernel_interpret_matches_xla():
+    """The anti-diagonal Pallas forward (interpret mode on CPU) is bit-exact
+    with the XLA row formulation."""
+    import numpy as np
+    from gfalign_tpu.ops.nw_path import encode_path_batch, nw_pair_scores
+    from gfalign_tpu.ops.nw_pallas import TILE_R, nw_pair_scores_pallas
+
+    rng = random.Random(42)
+    C, n, m = 3, 12, 12
+    cands = [[Step(rng.randrange(5), rng.choice("+-"))
+              for _ in range(rng.randrange(1, n + 1))] for _ in range(C)]
+    reads = [[Step(rng.randrange(5), rng.choice("+-"))
+              for _ in range(rng.randrange(1, m + 1))] for _ in range(TILE_R)]
+    a_keys, a_len = encode_path_batch(cands, n, pad_key=-1)
+    b_keys, b_len = encode_path_batch(reads, m, pad_key=-2)
+    ref = np.asarray(nw_pair_scores(a_keys, a_len, b_keys, b_len))
+    got = np.asarray(nw_pair_scores_pallas(a_keys, a_len, b_keys, b_len,
+                                           interpret=True))
+    np.testing.assert_array_equal(ref, got)
