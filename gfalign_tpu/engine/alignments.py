@@ -106,10 +106,21 @@ class GafRecord:
 
 
 class AlignmentSet:
-    """The InAlignments equivalent: records + load-time stat totals."""
+    """The InAlignments equivalent, columnar-first.
+
+    The native loader keeps records as parallel columns (numeric array +
+    name/path/tag string lists + tokenized paths); GafRecord objects are
+    materialized lazily only for code paths that need them.  All mutations
+    (sort, filter, shard) are expressed as index orders applied to every
+    live representation, so they stay consistent."""
 
     def __init__(self) -> None:
-        self.records: List[GafRecord] = []
+        self._records: Optional[List[GafRecord]] = None
+        self._numeric: Optional[np.ndarray] = None   # (N, 10) int64
+        self._qnames: Optional[List[str]] = None
+        self._paths: Optional[List[str]] = None
+        self._tails: Optional[List[str]] = None
+        self.tokens = None  # io.native.GafTokens columnar path tokens
         # load-time totals (never recomputed after filtering — quirk)
         self.tot_qlen = 0
         self.tot_algseq = 0
@@ -125,6 +136,71 @@ class AlignmentSet:
         self.terminal_supplementary = 0
         self.terminal_flag = False
 
+    # -- representations --------------------------------------------------
+
+    @property
+    def count(self) -> int:
+        if self._records is not None:
+            return len(self._records)
+        return len(self._qnames) if self._qnames is not None else 0
+
+    @property
+    def records(self) -> List[GafRecord]:
+        if self._records is None:
+            self._records = [self._make_record(i) for i in range(self.count)]
+        return self._records
+
+    @records.setter
+    def records(self, value: List[GafRecord]) -> None:
+        self._records = value
+        self._numeric = self._qnames = self._paths = self._tails = None
+
+    def _make_record(self, i: int) -> GafRecord:
+        row = self._numeric[i]
+        return GafRecord(self._qnames[i], int(row[0]), int(row[1]), int(row[2]),
+                         "-" if row[3] else "+", self._paths[i], int(row[4]),
+                         int(row[5]), int(row[6]), int(row[7]), int(row[8]),
+                         int(row[9]), self._tails[i], i)
+
+    def qname_at(self, i: int) -> str:
+        if self._records is not None:
+            return self._records[i].qname
+        return self._qnames[i]
+
+    def numeric_at(self, i: int, col: int) -> int:
+        """col in the native order: 0 qlen 1 qstart 2 qend 3 strand 4 plen
+        5 pstart 6 pend 7 matches 8 blocklen 9 mapq."""
+        if self._records is not None:
+            r = self._records[i]
+            return (r.qlen, r.qstart, r.qend, 0 if r.strand == "+" else 1,
+                    r.plen, r.pstart, r.pend, r.matches, r.blocklen, r.mapq)[col]
+        return int(self._numeric[i, col])
+
+    def line_at(self, i: int) -> str:
+        if self._records is not None:
+            return self._records[i].to_line()
+        row = self._numeric[i]
+        parts = [self._qnames[i], str(int(row[0])), str(int(row[1])),
+                 str(int(row[2])), "-" if row[3] else "+", self._paths[i],
+                 str(int(row[4])), str(int(row[5])), str(int(row[6])),
+                 str(int(row[7])), str(int(row[8])), str(int(row[9]))]
+        for lab, typ, content in _parse_tagtail(self._tails[i]):
+            parts.append(f"{lab}:{typ}:{content}")
+        return "\t".join(parts) + "\n"
+
+    def _apply_order(self, order) -> None:
+        """Permute/subset every live representation by an index array."""
+        order = list(int(i) for i in order)
+        if self._records is not None:
+            self._records = [self._records[i] for i in order]
+        if self._numeric is not None:
+            self._numeric = self._numeric[order] if len(order) else self._numeric[:0]
+            self._qnames = [self._qnames[i] for i in order]
+            self._paths = [self._paths[i] for i in order]
+            self._tails = [self._tails[i] for i in order]
+        if self.tokens is not None:
+            self.tokens = self.tokens.subset(np.asarray(order, dtype=np.int64))
+
     # -- load ------------------------------------------------------------
 
     def load(self, path: str, terminal_flag: bool = False,
@@ -137,6 +213,8 @@ class AlignmentSet:
         if not self._load_native(path, shard):
             from ..io.stream import iter_lines
 
+            if self._records is None:
+                self._records = []
             pos = 0
             for line in iter_lines(path):
                 if not line:
@@ -146,9 +224,9 @@ class AlignmentSet:
                 if shard and idx % shard[1] != shard[0]:
                     continue
                 rec = GafRecord.from_line(line, idx)
-                self.records.append(rec)
+                self._records.append(rec)
                 self._accumulate(rec)
-        lg.verbose(f"Loaded {len(self.records)} alignments from {path}")
+        lg.verbose(f"Loaded {self.count} alignments from {path}")
 
     def _load_native(self, path: str, shard: Optional[Tuple[int, int]] = None) -> bool:
         """Fast path: multithreaded C++ columnar parse (io/native.py)."""
@@ -161,23 +239,22 @@ class AlignmentSet:
         with open(path, "rb") as probe:
             if probe.read(2) == b"\x1f\x8b":  # gzip -> python path
                 return False
-        parsed = native.parse_gaf(path)
+        parsed = native.parse_gaf(path, want_tokens=True)
         if parsed is None:
             return False
-        numeric, qnames, paths, tails = parsed
+        numeric, qnames, paths, tails, tokens = parsed
         if shard:
             keep = list(range(shard[0], len(qnames), shard[1]))
             numeric = numeric[keep]
             qnames = [qnames[i] for i in keep]
             paths = [paths[i] for i in keep]
             tails = [tails[i] for i in keep]
-        for i in range(len(qnames)):
-            row = numeric[i]
-            self.records.append(GafRecord(
-                qnames[i], int(row[0]), int(row[1]), int(row[2]),
-                "-" if row[3] else "+", paths[i], int(row[4]), int(row[5]),
-                int(row[6]), int(row[7]), int(row[8]), int(row[9]),
-                tails[i], i))
+            tokens = tokens.subset(np.asarray(keep, dtype=np.int64))
+        self.tokens = tokens
+        self._numeric = numeric
+        self._qnames = qnames
+        self._paths = paths
+        self._tails = tails
         if len(qnames):
             self.tot_qlen += int(numeric[:, 0].sum())
             self.tot_algseq += int((numeric[:, 2] - numeric[:, 1]).sum())
@@ -204,11 +281,11 @@ class AlignmentSet:
     # -- stats -----------------------------------------------------------
 
     def _avg(self, total: int) -> float:
-        n = len(self.records)
+        n = self.count
         return total / n if n else float("nan")
 
     def print_stats(self, out, tabular: bool = False) -> None:
-        n = len(self.records)
+        n = self.count
         fr = cout.fmt_rounded
         if not tabular:
             out.write(label("+++Alignment summary+++") + "\n")
@@ -234,45 +311,62 @@ class AlignmentSet:
     def sort_by_name(self) -> None:
         # stable by qName (deterministic superset of the reference's
         # non-stable std::sort, SURVEY.md section 4 quirk 9)
-        self.records.sort(key=lambda r: r.qname)
+        order = sorted(range(self.count), key=self.qname_at)
+        self._apply_order(order)
 
     def mark_duplicates(self, out=None) -> None:
         prev: Optional[str] = None
-        scratch: List[GafRecord] = []
-        n = len(self.records)
-        for i, rec in enumerate(self.records):
-            scratch.append(rec)
-            if rec.qname == prev:
+        scratch: List[int] = []
+        n = self.count
+        for i in range(n):
+            scratch.append(i)
+            name = self.qname_at(i)
+            if name == prev:
                 self.secondary += 1
-                if i + 1 == n or self.records[i + 1].qname != rec.qname:
+                if i + 1 == n or self.qname_at(i + 1) != name:
                     self._count_supplementary(scratch, out)
                     scratch = []
             else:
                 self.primary += 1
-                prev = rec.qname
+                prev = name
 
-    def _count_supplementary(self, group: List[GafRecord], out=None) -> None:
-        group = sorted(group, key=lambda r: r.qstart)  # stable
+    def _count_supplementary(self, group: List[int], out=None) -> None:
+        group = sorted(group, key=lambda i: self.numeric_at(i, 1))  # stable, qStart
         pos = 0
         count = 0
-        for rec in group:
-            if pos != 0 and rec.qstart > pos:
+        for i in group:
+            if pos != 0 and self.numeric_at(i, 1) > pos:
                 self.supplementary += 1
                 count += 1
-            pos = rec.qend
+            pos = self.numeric_at(i, 2)  # qEnd
         if len(group) == 2 and count == 1:
             # unsigned window test: pLen < 500 wraps and never passes
-            if group[0].pend >= ((group[0].plen - 500) % _U32) and group[1].pstart <= 500:
+            if (self.numeric_at(group[0], 6)
+                    >= ((self.numeric_at(group[0], 4) - 500) % _U32)
+                    and self.numeric_at(group[1], 5) <= 500):
                 self.terminal_supplementary += 1
                 if self.terminal_flag and out is not None:
-                    out.write(group[0].to_line() + group[1].to_line())
+                    out.write(self.line_at(group[0]) + self.line_at(group[1]))
 
     # -- filtering -------------------------------------------------------
 
     def filter_by_nodelist(self, nodelist: Sequence[str], min_nodes: int) -> None:
         headers = set(nodelist)
-        self.records = [r for r in self.records
-                        if r.is_contained(headers) and r.path_nodes_count() >= min_nodes]
+        if self.tokens is not None and self.count:
+            tok = self.tokens
+            member = np.asarray([name in headers for name in tok.names], bool)
+            lengths = np.diff(tok.offsets)
+            ok_steps = member[tok.step_ids] if tok.step_ids.size else np.zeros(0, bool)
+            contained = np.ones(self.count, dtype=bool)
+            nonempty = lengths > 0
+            if ok_steps.size:
+                starts = tok.offsets[:-1][nonempty]
+                contained[nonempty] = np.minimum.reduceat(ok_steps, starts) > 0
+            keep = contained & (lengths >= min_nodes)
+            self._apply_order(np.nonzero(keep)[0])
+        else:
+            self.records = [r for r in self.records
+                            if r.is_contained(headers) and r.path_nodes_count() >= min_nodes]
 
     # -- output ----------------------------------------------------------
 
@@ -282,18 +376,30 @@ class AlignmentSet:
         stream = OutputStream(file)
         if stream.out_file:  # writing records to a file => stats to stdout
             self.print_stats(stdout)
-        for rec in self.records:
-            stream.write(rec.to_line())
+        for i in range(self.count):
+            stream.write(self.line_at(i))
         stream.close()
 
     # -- tensorization ---------------------------------------------------
 
     def paths_as_ids(self, name_to_id: Dict[str, int]) -> List[List[Tuple[int, str]]]:
+        if self.tokens is not None:
+            tok = self.tokens
+            translate = [name_to_id.get(name, 0) for name in tok.names]
+            orient = "+-"
+            out = []
+            for i in range(self.count):
+                s, e = int(tok.offsets[i]), int(tok.offsets[i + 1])
+                out.append([(translate[tok.step_ids[j]],
+                             orient[tok.step_orients[j]]) for j in range(s, e)])
+            return out
         return [rec.path_ids(name_to_id) for rec in self.records]
 
     def paths_padded(self, name_to_id: Dict[str, int], pad_to: Optional[int] = None):
         """(ids, orients, lengths) padded int32/int8 arrays for device
         scoring; orientation encoded 0='+', 1='-'; id pad = -1."""
+        if self.tokens is not None:
+            return self._paths_padded_tokens(name_to_id, pad_to)
         ids_list = self.paths_as_ids(name_to_id)
         n = len(ids_list)
         max_len = max((len(p) for p in ids_list), default=1) or 1
@@ -307,6 +413,28 @@ class AlignmentSet:
             for j, (sid, orientation) in enumerate(p):
                 ids[i, j] = sid
                 orients[i, j] = 0 if orientation == "+" else 1
+        return ids, orients, lengths
+
+
+    def _paths_padded_tokens(self, name_to_id, pad_to=None):
+        tok = self.tokens
+        n = self.count
+        lengths = np.diff(tok.offsets).astype(np.int32)
+        max_len = max(int(lengths.max()) if n else 1, 1)
+        if pad_to is not None:
+            max_len = max(max_len, pad_to)
+        # dictionary id -> graph uid (unknown names -> 0, phmap-style)
+        translate = np.asarray([name_to_id.get(name, 0) for name in tok.names],
+                               dtype=np.int32)
+        idx = tok.offsets[:-1, None] + np.arange(max_len, dtype=np.int32)[None, :]
+        mask = np.arange(max_len, dtype=np.int32)[None, :] < lengths[:, None]
+        safe = np.clip(idx, 0, max(tok.step_ids.size - 1, 0))
+        if tok.step_ids.size:
+            ids = np.where(mask, translate[tok.step_ids[safe]], -1).astype(np.int32)
+            orients = np.where(mask, tok.step_orients[safe], 0).astype(np.int8)
+        else:
+            ids = np.full((n, max_len), -1, np.int32)
+            orients = np.zeros((n, max_len), np.int8)
         return ids, orients, lengths
 
 
@@ -326,12 +454,49 @@ def build_edge_weights(alignments: AlignmentSet, name_to_id: Dict[str, int]) -> 
     (src/alignments.cpp:353-403) but as one canonical-key counting pass.
     The palindromic self-loop case (an edge equal to its own mirror) is
     resolved at lookup time (see edge_weight)."""
+    tok = getattr(alignments, "tokens", None)
+    if tok is not None and tok.step_ids.size:
+        return _edge_weights_vectorized(tok, name_to_id)
     weights: Dict[Tuple, int] = {}
     for rec in alignments.records:
         steps = rec.path_ids(name_to_id)
         for (s1, o1), (s2, o2) in zip(steps, steps[1:]):
             key = _canonical(s1, o1, s2, o2)
             weights[key] = weights.get(key, 0) + 1
+    return weights
+
+
+def _edge_weights_vectorized(tok, name_to_id: Dict[str, int]) -> Dict[Tuple, int]:
+    """Canonical-key pair counting as numpy group-by (same result as the
+    per-record loop; used automatically when columnar tokens exist)."""
+    translate = np.asarray([name_to_id.get(name, 0) for name in tok.names],
+                           dtype=np.int64)
+    ids = translate[tok.step_ids]
+    ors = tok.step_orients.astype(np.int64)
+    a, oa = ids[:-1], ors[:-1]
+    b, ob = ids[1:], ors[1:]
+    # drop pairs spanning record boundaries
+    boundary = np.zeros(len(ids), dtype=bool)
+    boundary[tok.offsets[1:-1]] = True  # first step of each later record
+    valid = ~boundary[1:]
+    a, oa, b, ob = a[valid], oa[valid], b[valid], ob[valid]
+    if not len(a):
+        return {}
+    k1 = a * 2 + oa
+    k2 = b * 2 + ob
+    m1 = b * 2 + (1 - ob)
+    m2 = a * 2 + (1 - oa)
+    take_mirror = (m1 < k1) | ((m1 == k1) & (m2 < k2))
+    c1 = np.where(take_mirror, m1, k1)
+    c2 = np.where(take_mirror, m2, k2)
+    packed = c1 << 32 | c2
+    uniq, counts = np.unique(packed, return_counts=True)
+    weights: Dict[Tuple, int] = {}
+    orient = "+-"
+    for key, cnt in zip(uniq.tolist(), counts.tolist()):
+        u1 = key >> 32
+        u2 = key & 0xFFFFFFFF
+        weights[(u1 >> 1, orient[u1 & 1], u2 >> 1, orient[u2 & 1])] = int(cnt)
     return weights
 
 

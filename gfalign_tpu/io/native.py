@@ -46,6 +46,16 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.gaf_strings.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                 ctypes.POINTER(ctypes.c_int64)]
     lib.gaf_close.argtypes = [ctypes.c_void_p]
+    lib.gaf_step_count.restype = ctypes.c_int64
+    lib.gaf_step_count.argtypes = [ctypes.c_void_p]
+    lib.gaf_step_ids.restype = ctypes.POINTER(ctypes.c_int32)
+    lib.gaf_step_ids.argtypes = [ctypes.c_void_p]
+    lib.gaf_step_orients.restype = ctypes.POINTER(ctypes.c_int8)
+    lib.gaf_step_orients.argtypes = [ctypes.c_void_p]
+    lib.gaf_path_offsets.restype = ctypes.POINTER(ctypes.c_int32)
+    lib.gaf_path_offsets.argtypes = [ctypes.c_void_p]
+    lib.gaf_dict_names.restype = ctypes.c_void_p
+    lib.gaf_dict_names.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
     lib.fq_open.restype = ctypes.c_void_p
     lib.fq_open.argtypes = [ctypes.c_char_p]
     lib.fq_count.restype = ctypes.c_int64
@@ -73,8 +83,33 @@ def _blob_to_list(ptr: int, length: int) -> List[str]:
     return parts
 
 
-def parse_gaf(path: str):
-    """(numeric (N,10) int64, qnames, paths, tagtails) or None.
+class GafTokens:
+    """Columnar path tokens: flat dictionary ids + orientations with
+    per-record offsets, plus the dictionary name list."""
+
+    def __init__(self, step_ids, step_orients, offsets, names):
+        self.step_ids = step_ids        # (total,) int32 dictionary ids
+        self.step_orients = step_orients  # (total,) int8 0='+', 1='-'
+        self.offsets = offsets          # (n_records+1,) int32
+        self.names = names              # dictionary id -> node name
+
+    def subset(self, order: np.ndarray) -> "GafTokens":
+        """Reorder/subset records (after sort/filter)."""
+        lengths = np.diff(self.offsets)[order]
+        new_offsets = np.zeros(len(order) + 1, dtype=np.int32)
+        np.cumsum(lengths, out=new_offsets[1:])
+        total = int(new_offsets[-1])
+        ids = np.empty(total, dtype=np.int32)
+        orients = np.empty(total, dtype=np.int8)
+        for new_i, old_i in enumerate(order):
+            s, e = self.offsets[old_i], self.offsets[old_i + 1]
+            ids[new_offsets[new_i]:new_offsets[new_i + 1]] = self.step_ids[s:e]
+            orients[new_offsets[new_i]:new_offsets[new_i + 1]] = self.step_orients[s:e]
+        return GafTokens(ids, orients, new_offsets, self.names)
+
+
+def parse_gaf(path: str, want_tokens: bool = False):
+    """(numeric (N,10) int64, qnames, paths, tagtails[, tokens]) or None.
 
     numeric columns: qlen qstart qend strand plen pstart pend matches
     blocklen mapq (strand: 0='+', 1='-')."""
@@ -95,7 +130,21 @@ def parse_gaf(path: str):
                               out_len.value)
         tails = _blob_to_list(lib.gaf_strings(handle, 2, ctypes.byref(out_len)),
                               out_len.value)
-        return numeric, qnames, paths, tails
+        if not want_tokens:
+            return numeric, qnames, paths, tails
+        total = lib.gaf_step_count(handle)
+        step_ids = np.ctypeslib.as_array(lib.gaf_step_ids(handle),
+                                         shape=(max(total, 1),))[:total].copy()
+        step_orients = np.ctypeslib.as_array(lib.gaf_step_orients(handle),
+                                             shape=(max(total, 1),))[:total].copy()
+        offsets = np.ctypeslib.as_array(lib.gaf_path_offsets(handle),
+                                        shape=(count + 1,)).copy()
+        names = _blob_to_list(lib.gaf_dict_names(handle, ctypes.byref(out_len)),
+                              out_len.value)
+        tokens = GafTokens(step_ids.astype(np.int32),
+                           step_orients.astype(np.int8),
+                           offsets.astype(np.int32), names)
+        return numeric, qnames, paths, tails, tokens
     finally:
         lib.gaf_close(handle)
 

@@ -23,6 +23,7 @@
 #include <fstream>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -33,7 +34,56 @@ struct GafData {
   std::string paths;
   std::string tagtails;          // raw text after column 12 ('' if none)
   int64_t count = 0;
+  // tokenized paths (columnar): per-step dictionary ids + orientations,
+  // with per-record offsets into the flat arrays
+  std::vector<int32_t> step_ids;
+  std::vector<int8_t> step_orients;  // 0='+' ('>'), 1='-' ('<')
+  std::vector<int32_t> path_offsets; // count+1 entries
+  std::string dict_names;            // '\n'-joined, index = dictionary id
+  int32_t dict_size = 0;
 };
+
+// Tokenize every GAF path string ('>'/'<'-prefixed node names) into the
+// columnar step arrays.  Single linear pass over the merged paths blob.
+static void tokenize_paths(GafData* g) {
+  std::unordered_map<std::string, int32_t> dict;
+  g->path_offsets.push_back(0);
+  const std::string& blob = g->paths;
+  size_t pos = 0, n = blob.size();
+  std::string name;
+  while (pos < n) {
+    size_t eol = pos;
+    while (eol < n && blob[eol] != '\n') eol++;
+    size_t i = pos;
+    while (i < eol) {
+      char c = blob[i];
+      if (c == '>' || c == '<') {
+        size_t j = i + 1;
+        while (j < eol && blob[j] != '>' && blob[j] != '<') j++;
+        name.assign(blob, i + 1, j - i - 1);
+        auto it = dict.find(name);
+        int32_t id;
+        if (it == dict.end()) {
+          id = g->dict_size++;
+          dict.emplace(name, id);
+          g->dict_names += name;
+          g->dict_names.push_back('\n');
+        } else {
+          id = it->second;
+        }
+        g->step_ids.push_back(id);
+        g->step_orients.push_back(c == '>' ? 0 : 1);
+        i = j;
+      } else {
+        i++;  // malformed leading text: skip byte (mirrors reference walker)
+      }
+    }
+    g->path_offsets.push_back(static_cast<int32_t>(g->step_ids.size()));
+    pos = eol + 1;
+  }
+  // records whose path column was empty still need offsets: path_offsets
+  // already has one entry per blob line == one per record
+}
 
 struct FqData {
   std::string names;
@@ -147,6 +197,7 @@ GafData* gaf_open(const char* path) {
     out->tagtails += ch.tagtails;
     out->count += ch.count;
   }
+  tokenize_paths(out);
   return out;
 }
 
@@ -161,6 +212,17 @@ const char* gaf_strings(GafData* h, int which, int64_t* len) {
 }
 
 void gaf_close(GafData* h) { delete h; }
+
+int64_t gaf_step_count(GafData* h) {
+  return static_cast<int64_t>(h->step_ids.size());
+}
+const int32_t* gaf_step_ids(GafData* h) { return h->step_ids.data(); }
+const int8_t* gaf_step_orients(GafData* h) { return h->step_orients.data(); }
+const int32_t* gaf_path_offsets(GafData* h) { return h->path_offsets.data(); }
+const char* gaf_dict_names(GafData* h, int64_t* len) {
+  *len = static_cast<int64_t>(h->dict_names.size());
+  return h->dict_names.data();
+}
 
 // ---------------------------------------------------------------- FASTQ/A
 
