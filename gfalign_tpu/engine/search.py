@@ -99,8 +99,10 @@ def search(graph: Graph,
            max_steps: int = 100000,
            min_nodes: int = 0,
            return_all_paths: bool = False,
-           out=None) -> None:
+           out=None,
+           evaluate_fn=None) -> None:
     out = out or sys.stdout
+    evaluate_fn = evaluate_fn or evaluate_candidates
     adj = graph.adjacency
     name_to_id = graph.name_to_id
     read_paths: List[List[Step]] = []
@@ -147,8 +149,8 @@ def search(graph: Graph,
         if not expansions:
             steps += 1
             continue
-        scores = evaluate_candidates([e[2] for e in expansions], read_paths,
-                                     filter_alignments=True)
+        scores = evaluate_fn([e[2] for e in expansions], read_paths,
+                             filter_alignments=True)
         for (v, name, new_steps, uniques), sc in zip(expansions, scores):
             alt = sc.bad - sc.good - len(uniques)
             if v.nid != dest_uid:
