@@ -84,6 +84,17 @@ def _print_version() -> None:
     raise SystemExit(0)
 
 
+def _if_file_exists(path: str) -> str:
+    """Exit cleanly on missing input files (reference ifFileExists,
+    gfalibs functions.h via src/main.cpp:200)."""
+    import os
+
+    if path != "-" and not os.path.isfile(path):
+        print(f"Error: file {path} does not exist.", file=sys.stderr)
+        raise SystemExit(1)
+    return path
+
+
 def parse_args(argv: List[str]) -> UserInput:
     if not argv:
         print(_HELP, end="")
@@ -102,16 +113,16 @@ def parse_args(argv: List[str]) -> UserInput:
         raise SystemExit(1)
     for opt, val in opts:
         if opt in ("-f", "--input-sequence"):
-            ui.in_sequence = val
+            ui.in_sequence = _if_file_exists(val)
         elif opt in ("-g", "--input-alignment"):
-            ui.in_align = val
+            ui.in_align = _if_file_exists(val)
             ui.align_stats_flag = True
         elif opt in ("-o", "--out-format"):
             ui.out_file = val
         elif opt in ("-j", "--threads"):
             ui.threads = int(val)
         elif opt in ("-n", "--node-file"):
-            ui.node_file = val
+            ui.node_file = _if_file_exists(val)
         elif opt in ("-s", "--source"):
             ui.source = val
         elif opt in ("-d", "--destination"):
@@ -123,7 +134,7 @@ def parse_args(argv: List[str]) -> UserInput:
         elif opt in ("-p", "--path") and mode == 5:
             ui.path = val
         elif opt in ("-r", "--input-reads"):
-            ui.in_reads.append(val)
+            ui.in_reads.append(_if_file_exists(val))
         elif opt == "--graph-statistics":
             ui.stats_flag = True
         elif opt == "--sort-alignment":
@@ -193,18 +204,24 @@ def run(ui: UserInput) -> int:
                 alignments.print_stats(out)
             elif ui.sort_alignment_flag:
                 alignments.output(ui.out_file, out)
-        if ui.in_align and ui.out_file:
+        if ui.in_align and ui.out_file and graph is not None:
             from ..engine.evalgfa import eval_gfa
             from ..io.writers import write_graph
             eval_gfa(graph, alignments)
             write_graph(graph, ui.out_file)
     elif mode == 2:
+        if graph is None:
+            print("subgraph: missing input graph (-f)", file=sys.stderr)
+            return 1
         nodelist = _read_nodelist(ui.node_file)
         sub = graph.subgraph(nodelist)
         if ui.out_file:
             from ..io.writers import write_graph
             write_graph(sub, ui.out_file)
     elif mode == 3:
+        if graph is None:
+            print("search: missing input graph (-f)", file=sys.stderr)
+            return 1
         from ..engine.search import search
         search(graph, alignments if ui.in_align else None, ui.node_file,
                ui.source, ui.destination, ui.dijkstra_steps, ui.min_nodes,
@@ -215,6 +232,9 @@ def run(ui: UserInput) -> int:
         if ui.out_file:
             alignments.output(ui.out_file, out)
     elif mode == 5:
+        if graph is None:
+            print("evalPath: missing input graph (-f)", file=sys.stderr)
+            return 1
         from ..engine.evalpath import eval_path
         eval_path(graph, alignments, ui.path, out)
     return 0

@@ -123,16 +123,9 @@ def search(graph: Graph,
     heapq.heappush(heap, (0, seq, first))
     seq += 1
 
-    best_alt = 2 ** 31 - 1
-    best_uniques = 0
-    path_counter = 0
-    steps = 0
-    lg.verbose("Starting search")
-    while heap and steps < max_steps:
-        _, _, u = heapq.heappop(heap)
+    def admissible_expansions(u: PartialPath):
+        exps = []
         last = u.steps[-1]
-        # gather admissible expansions, batch-score, then commit in order
-        expansions = []
         for v in adj[last.id]:
             if last.orientation != "0" and last.orientation != v.or0:
                 continue
@@ -145,12 +138,50 @@ def search(graph: Graph,
                 new_steps[-1] = Step(new_steps[-1].id, v.or0)
             new_steps.append(Step(v.nid, v.or1))
             uniques = sorted({graph.segment(s.id).name for s in new_steps})
-            expansions.append((v, name, new_steps, uniques))
+            exps.append((v, name, new_steps, uniques))
+        return exps
+
+    # Speculative scoring: candidate scores are deterministic and
+    # independent of heap state, so while scoring a popped path's
+    # expansions we also score the expansions of the next few heap tops in
+    # the same device batch.  Output order is untouched — later pops just
+    # hit the cache instead of the device.
+    score_cache: Dict[Tuple[Step, ...], "object"] = {}
+    speculate = 32 if read_paths else 0
+
+    best_alt = 2 ** 31 - 1
+    best_uniques = 0
+    path_counter = 0
+    steps = 0
+    lg.verbose("Starting search")
+    while heap and steps < max_steps:
+        _, _, u = heapq.heappop(heap)
+        expansions = admissible_expansions(u)
         if not expansions:
             steps += 1
             continue
-        scores = evaluate_fn([e[2] for e in expansions], read_paths,
-                             filter_alignments=True)
+        to_score = []
+        seen_keys = set()
+        for _, _, new_steps, _ in expansions:
+            key = tuple(new_steps)
+            if key not in score_cache and key not in seen_keys:
+                seen_keys.add(key)
+                to_score.append((key, new_steps))
+        if speculate and to_score:
+            for _, _, spec in heapq.nsmallest(speculate, heap):
+                for _, _, new_steps, _ in admissible_expansions(spec):
+                    key = tuple(new_steps)
+                    if key not in score_cache and key not in seen_keys:
+                        seen_keys.add(key)
+                        to_score.append((key, new_steps))
+        if to_score:
+            results = evaluate_fn([s for _, s in to_score], read_paths,
+                                  filter_alignments=True)
+            if len(score_cache) > 200000:
+                score_cache.clear()
+            for (key, _), sc in zip(to_score, results):
+                score_cache[key] = sc
+        scores = [score_cache[tuple(e[2])] for e in expansions]
         for (v, name, new_steps, uniques), sc in zip(expansions, scores):
             alt = sc.bad - sc.good - len(uniques)
             if v.nid != dest_uid:

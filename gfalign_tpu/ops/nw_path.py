@@ -399,8 +399,12 @@ def batched_best_scores(candidates: Sequence[Sequence[Step]],
 
     n_max = pad_pow2(max(len(c) for c in candidates))
     m_max = pad_pow2(max(len(r) for r in read_paths))
+    C = len(candidates)
+    C_pad = pad_pow2(C, floor=1)  # bucket the candidate dim too, or every
+    # frontier size compiles its own executable (expensive over the tunnel)
     a_keys, a_len = encode_path_batch(
-        [[Step(*s) for s in c] for c in candidates], n_max, pad_key=-1)
+        [[Step(*s) for s in c] for c in candidates]
+        + [[] for _ in range(C_pad - C)], n_max, pad_key=-1)
     b_keys, b_len = encode_path_batch(
         [[Step(*s) for s in r] for r in read_paths], m_max, pad_key=-2)
 
@@ -422,4 +426,4 @@ def batched_best_scores(candidates: Sequence[Sequence[Step]],
             bk = np.concatenate([bk, np.full((padn, m_max), -2, np.int32)])
             bl = np.concatenate([bl, np.zeros((padn,), np.int32)])
         outs.append(np.asarray(scorer(a_keys, a_len, bk, bl))[:, :bl.shape[0]])
-    return np.concatenate(outs, axis=1)[:, :R].astype(np.int32)
+    return np.concatenate(outs, axis=1)[:C, :R].astype(np.int32)
