@@ -165,12 +165,26 @@ def parse_args(argv: List[str]) -> UserInput:
 
 
 def run(ui: UserInput) -> int:
+    import os
+
     from ..engine.alignments import AlignmentSet
     from ..graph.stats import report_stats
     from ..io.gfa import read_gfa
     from ..utils.log import lg
+    from ..utils.profiling import maybe_trace
 
     out = sys.stdout
+    # multi-host mode: GFALIGN_TPU_DISTRIBUTED=1 -> jax.distributed init,
+    # qname-grouped shard loading, psum-merged statistics
+    distributed = bool(os.environ.get("GFALIGN_TPU_DISTRIBUTED"))
+    shard = None
+    if distributed:
+        from ..parallel.dist import process_info
+        from ..parallel.mesh import distributed_init_if_requested
+        distributed_init_if_requested()
+        shard = process_info()
+        if shard == (0, 1):
+            shard = None
     if ui.cmd_flag:
         print("".join(t + " " for t in ["gfalign"] + sys.argv[1:]))
 
@@ -184,9 +198,12 @@ def run(ui: UserInput) -> int:
     alignments = AlignmentSet()
     if ui.in_align:
         lg.verbose(f"Alignment: {ui.in_align}")
-        alignments.load(ui.in_align, ui.terminal_alignments_flag)
+        alignments.load(ui.in_align, ui.terminal_alignments_flag,
+                        shard=shard, shard_by="qname")
 
     mode = ui.mode
+    trace_ctx = maybe_trace()
+    trace_ctx.__enter__()
     if mode == 0:
         from ..engine.aligner import align_mode
         if ui.in_reads:
@@ -200,6 +217,8 @@ def run(ui: UserInput) -> int:
         if ui.in_align:
             alignments.sort_by_name()
             alignments.mark_duplicates(out)
+            if shard is not None:
+                alignments.merge_distributed()
             if ui.align_stats_flag:
                 alignments.print_stats(out)
             elif ui.sort_alignment_flag:
@@ -237,6 +256,7 @@ def run(ui: UserInput) -> int:
             return 1
         from ..engine.evalpath import eval_path
         eval_path(graph, alignments, ui.path, out)
+    trace_ctx.__exit__(None, None, None)
     return 0
 
 

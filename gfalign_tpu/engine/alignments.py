@@ -36,6 +36,14 @@ _U32 = 1 << 32
 _PATH_TOKEN = re.compile(r"[><][^><]+")
 
 
+def _shard_keep(shard: Tuple[int, int], shard_by: str, idx: int, qname: str) -> bool:
+    if shard_by == "qname":
+        import zlib
+
+        return zlib.crc32(qname.encode()) % shard[1] == shard[0]
+    return idx % shard[1] == shard[0]
+
+
 def _parse_tagtail(tail: str) -> List[Tuple[str, str, str]]:
     """Typed tags from the raw text after column 12.  Like the reference,
     only the third ':'-field survives as content (src/alignments.cpp:223-227)."""
@@ -204,13 +212,16 @@ class AlignmentSet:
     # -- load ------------------------------------------------------------
 
     def load(self, path: str, terminal_flag: bool = False,
-             shard: Optional[Tuple[int, int]] = None) -> None:
+             shard: Optional[Tuple[int, int]] = None,
+             shard_by: str = "index") -> None:
         """Load a GAF file.  `shard=(process_index, process_count)` keeps
-        only records with index % count == index — the multi-host input
-        contract (parallel/dist.py); totals then cover the local shard and
-        are merged with allreduce_stats."""
+        only this host's records — the multi-host input contract
+        (parallel/dist.py); totals then cover the local shard and are
+        merged with merge_distributed().  shard_by: "index" (round-robin,
+        best load balance) or "qname" (stable-hash grouping, keeps duplicate
+        groups host-local so markDuplicates stays correct)."""
         self.terminal_flag = terminal_flag
-        if not self._load_native(path, shard):
+        if not self._load_native(path, shard, shard_by):
             from ..io.stream import iter_lines
 
             if self._records is None:
@@ -221,14 +232,16 @@ class AlignmentSet:
                     continue
                 idx = pos
                 pos += 1
-                if shard and idx % shard[1] != shard[0]:
+                if shard and not _shard_keep(shard, shard_by, idx,
+                                             line.split("\t", 1)[0]):
                     continue
                 rec = GafRecord.from_line(line, idx)
                 self._records.append(rec)
                 self._accumulate(rec)
         lg.verbose(f"Loaded {self.count} alignments from {path}")
 
-    def _load_native(self, path: str, shard: Optional[Tuple[int, int]] = None) -> bool:
+    def _load_native(self, path: str, shard: Optional[Tuple[int, int]] = None,
+                     shard_by: str = "index") -> bool:
         """Fast path: multithreaded C++ columnar parse (io/native.py)."""
         import os
 
@@ -244,7 +257,8 @@ class AlignmentSet:
             return False
         numeric, qnames, paths, tails, tokens = parsed
         if shard:
-            keep = list(range(shard[0], len(qnames), shard[1]))
+            keep = [i for i in range(len(qnames))
+                    if _shard_keep(shard, shard_by, i, qnames[i])]
             numeric = numeric[keep]
             qnames = [qnames[i] for i in keep]
             paths = [paths[i] for i in keep]
@@ -278,14 +292,35 @@ class AlignmentSet:
         self.tot_blocklen += rec.blocklen
         self.tot_mapq += rec.mapq
 
+    # -- distributed -----------------------------------------------------
+
+    def merge_distributed(self) -> None:
+        """Multi-host stat merge: replace the load-time totals (computed on
+        this host's shard) with their psum across all hosts, along with the
+        record and duplicate-marking counts.  Totals are exact; duplicate
+        marking is exact only under qname-grouped sharding and without the
+        reference's cross-group scratch-leak quirk (see parallel/dist.py)."""
+        from ..parallel.dist import allreduce_stats
+
+        merged = allreduce_stats([
+            self.count, self.tot_qlen, self.tot_algseq, self.tot_plus,
+            self.tot_minus, self.tot_plen, self.tot_mapq, self.tot_matches,
+            self.tot_blocklen, self.primary, self.secondary,
+            self.supplementary, self.terminal_supplementary,
+        ])
+        (self._count_override, self.tot_qlen, self.tot_algseq, self.tot_plus,
+         self.tot_minus, self.tot_plen, self.tot_mapq, self.tot_matches,
+         self.tot_blocklen, self.primary, self.secondary, self.supplementary,
+         self.terminal_supplementary) = merged
+
     # -- stats -----------------------------------------------------------
 
     def _avg(self, total: int) -> float:
-        n = self.count
+        n = getattr(self, "_count_override", None) or self.count
         return total / n if n else float("nan")
 
     def print_stats(self, out, tabular: bool = False) -> None:
-        n = self.count
+        n = getattr(self, "_count_override", None) or self.count
         fr = cout.fmt_rounded
         if not tabular:
             out.write(label("+++Alignment summary+++") + "\n")

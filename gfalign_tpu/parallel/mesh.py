@@ -51,10 +51,14 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def distributed_init_if_requested() -> None:
-    """Initialize jax.distributed from env when launched multi-process
-    (JAX_COORDINATOR / standard cluster envs).  Safe no-op otherwise."""
+    """Initialize jax.distributed when launched as a real multi-process job
+    (coordinator address present in the environment).  Safe no-op for
+    single-process runs even with GFALIGN_TPU_DISTRIBUTED set."""
     import os
 
-    if os.environ.get("GFALIGN_TPU_DISTRIBUTED"):
+    has_cluster = any(os.environ.get(k) for k in
+                      ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                       "MEGASCALE_COORDINATOR_ADDRESS"))
+    if os.environ.get("GFALIGN_TPU_DISTRIBUTED") and has_cluster:
         import jax
         jax.distributed.initialize()
