@@ -103,6 +103,26 @@ def _edge_overlap(graph: Graph, s1: int, o1: str, s2: int, o2: str) -> int:
     return 0
 
 
+def overlap_table(graph: Graph) -> Dict[Tuple[int, str, int, str], int]:
+    """Directed (s1, o1, s2, o2) -> overlap length, both edge directions."""
+    from ..graph.model import flip
+
+    table: Dict[Tuple[int, str, int, str], int] = {}
+    for e in graph.links:
+        ov = _overlap_len(e.overlap)
+        table.setdefault((e.s1, e.or1, e.s2, e.or2), ov)
+        table.setdefault((e.s2, flip(e.or2), e.s1, flip(e.or1)), ov)
+    return table
+
+
+def build_oriented(graph: Graph, steps: List[Tuple[int, str]],
+                   overlaps_lut: Dict[Tuple[int, str, int, str], int]) -> OrientedPath:
+    overlaps = [overlaps_lut.get((steps[k][0], steps[k][1],
+                                  steps[k + 1][0], steps[k + 1][1]), 0)
+                for k in range(len(steps) - 1)]
+    return build_path(graph, steps, overlaps)
+
+
 def enumerate_paths(graph: Graph, max_paths: int = 4096,
                     max_depth: Optional[int] = None) -> List[OrientedPath]:
     """All maximal oriented simple paths (no repeated (segment, orientation)
@@ -215,10 +235,43 @@ def _cigar_str(cigar: List[Tuple[int, str]]) -> str:
     return "".join(f"{n}{op}" for n, op in cigar)
 
 
+SEED_THRESHOLD = 48   # above this many segments, switch to k-mer seeding
+SEED_CHUNK = 32       # reads per seeded scoring batch
+
+
 def align_reads(graph: Graph, reads: Sequence[Tuple[str, str]],
                 min_score: int = MIN_SCORE) -> List[Tuple[str, int, List[GafHit]]]:
-    """Returns [(read name, read length, hits sorted by descending score)]."""
-    paths = enumerate_paths(graph)
+    """Returns [(read name, read length, hits sorted by descending score)].
+
+    Small graphs use exact exhaustive path enumeration; larger graphs use
+    k-mer seed-and-extend candidate generation (engine/seeding.py)."""
+    if graph.n_segments > SEED_THRESHOLD:
+        return _align_seeded(graph, reads, min_score)
+    return _align_with_paths(graph, reads, enumerate_paths(graph), min_score)
+
+
+def _align_seeded(graph: Graph, reads, min_score: int):
+    from .seeding import KmerIndex, paths_around_anchor
+
+    index = KmerIndex(graph)
+    lut = overlap_table(graph)
+    out = []
+    for start in range(0, len(reads), SEED_CHUNK):
+        chunk = reads[start:start + SEED_CHUNK]
+        union: Dict[tuple, List[Tuple[int, str]]] = {}
+        for _, seq in chunk:
+            codes = encode_seq(seq)
+            for anchor in index.anchors(codes):
+                for steps in paths_around_anchor(graph, anchor, len(seq)):
+                    union.setdefault(tuple(steps), steps)
+        paths = [build_oriented(graph, steps, lut) for steps in union.values()]
+        out.extend(_align_with_paths(graph, chunk, paths, min_score))
+    return out
+
+
+def _align_with_paths(graph: Graph, reads: Sequence[Tuple[str, str]],
+                      paths: List[OrientedPath],
+                      min_score: int = MIN_SCORE) -> List[Tuple[str, int, List[GafHit]]]:
     if not paths or not reads:
         return [(name, len(seq), []) for name, seq in reads]
 

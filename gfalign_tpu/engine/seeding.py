@@ -1,0 +1,135 @@
+"""k-mer seeding for the align mode on large graphs.
+
+The exhaustive oriented-path enumeration in graph_align is exact but
+exponential in branchy regions; on graphs beyond a few dozen segments the
+aligner switches to seed-and-extend:
+
+  1. index every k-mer of every segment (both strands, host-side numpy
+     rolling hash);
+  2. a read's k-mer hits vote for (segment, orientation) anchors;
+  3. candidate paths are enumerated only around anchors — extending left
+     and right along the graph until the merged sequence covers the read
+     length plus slack, with a branching cap;
+  4. the usual batched device scoring runs on this per-read candidate set.
+
+This mirrors the role of GraphAligner's minimizer seeding (the reference
+outsources the whole problem, src/main.cpp:167-169); exactness of placement
+comes from the DP, seeding only bounds the search space.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Set, Tuple
+
+import numpy as np
+
+from ..graph.model import Graph
+from ..io.fastq import encode_seq
+
+K = 15
+MAX_ANCHORS_PER_READ = 12
+MAX_PATHS_PER_ANCHOR = 16
+SLACK = 64
+
+
+def _kmer_codes(codes: np.ndarray, k: int = K) -> np.ndarray:
+    """Packed 2-bit k-mer integers at every position (positions containing
+    N/pad return -1)."""
+    n = len(codes)
+    if n < k:
+        return np.empty(0, dtype=np.int64)
+    valid = codes < 4
+    packed = np.zeros(n - k + 1, dtype=np.int64)
+    ok = np.ones(n - k + 1, dtype=bool)
+    for off in range(k):
+        packed = (packed << 2) | codes[off:off + n - k + 1].astype(np.int64)
+        ok &= valid[off:off + n - k + 1]
+    return np.where(ok, packed, -1)
+
+
+class KmerIndex:
+    """k-mer -> [(segment uid, orientation, offset)] over all segments."""
+
+    def __init__(self, graph: Graph, k: int = K):
+        from ..graph.stats import revcomp
+
+        self.k = k
+        self.index: Dict[int, List[Tuple[int, str, int]]] = defaultdict(list)
+        for sid in range(graph.n_segments):
+            seg = graph.segment(sid)
+            if not seg.seq:
+                continue
+            for orientation, seq in (("+", seg.seq), ("-", revcomp(seg.seq))):
+                codes = encode_seq(seq)
+                for off, km in enumerate(_kmer_codes(codes, k)):
+                    if km >= 0:
+                        self.index[int(km)].append((sid, orientation, off))
+
+    def anchors(self, read_codes: np.ndarray,
+                max_anchors: int = MAX_ANCHORS_PER_READ) -> List[Tuple[int, str]]:
+        """(segment, orientation) anchors for a read, by vote count."""
+        votes: Dict[Tuple[int, str], int] = defaultdict(int)
+        for km in _kmer_codes(read_codes, self.k):
+            if km < 0:
+                continue
+            for sid, orientation, _ in self.index.get(int(km), ()):
+                votes[(sid, orientation)] += 1
+        ranked = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [key for key, _ in ranked[:max_anchors]]
+
+
+def paths_around_anchor(graph: Graph, anchor: Tuple[int, str],
+                        target_len: int,
+                        max_paths: int = MAX_PATHS_PER_ANCHOR) -> List[List[Tuple[int, str]]]:
+    """Oriented simple paths through the anchor whose merged length covers
+    target_len on both sides (branching-capped DFS in each direction)."""
+    from ..graph.model import flip
+
+    adj = graph.adjacency
+
+    def extend(start: Tuple[int, str], budget: int) -> List[List[Tuple[int, str]]]:
+        results: List[List[Tuple[int, str]]] = []
+
+        def dfs(path: List[Tuple[int, str]], covered: int, visited: Set):
+            if len(results) >= max_paths:
+                return
+            sid, orientation = path[-1]
+            extended = False
+            if covered < budget:
+                for e in adj[sid]:
+                    if e.or0 != orientation:
+                        continue
+                    nxt = (e.nid, e.or1)
+                    if nxt in visited:
+                        continue
+                    visited.add(nxt)
+                    path.append(nxt)
+                    dfs(path, covered + graph.segment(e.nid).length, visited)
+                    path.pop()
+                    visited.remove(nxt)
+                    extended = True
+            if not extended or covered >= budget:
+                results.append(list(path))
+
+        dfs([start], 0, {start})
+        return results
+
+    sid, orientation = anchor
+    budget = target_len + SLACK
+    rights = extend(anchor, budget)
+    # left extensions = reverse-complement walks from the flipped anchor
+    lefts_rc = extend((sid, flip(orientation)), budget)
+    paths = []
+    seen = set()
+    for left_rc in lefts_rc[:4]:
+        left = [(s, flip(o)) for s, o in reversed(left_rc)][:-1]  # drop anchor dup
+        for right in rights[:4]:
+            combined = left + right
+            key = tuple(combined)
+            if key not in seen:
+                seen.add(key)
+                paths.append(combined)
+            if len(paths) >= max_paths:
+                return paths
+    return paths

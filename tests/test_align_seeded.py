@@ -1,0 +1,87 @@
+"""Seeded align-mode tests on graphs too large for exhaustive enumeration."""
+
+import random
+
+import pytest
+
+from gfalign_tpu.engine.graph_align import SEED_THRESHOLD, align_reads
+from gfalign_tpu.graph.model import Graph, Link
+from gfalign_tpu.graph.stats import revcomp
+
+
+def build_chain_graph(rng, n_segments=200, seg_len=80):
+    """Linear backbone with bubble branches — forces the seeded code path."""
+    graph = Graph()
+    seqs = []
+    for i in range(n_segments):
+        seq = "".join(rng.choice("ACGT") for _ in range(seg_len))
+        graph.add_segment(f"s{i}", seq)
+        seqs.append(seq)
+        if i > 0:
+            graph.links.append(Link(i - 1, "+", i, "+", "0M"))
+    return graph, seqs
+
+
+@pytest.fixture(scope="module")
+def chain():
+    rng = random.Random(5)
+    return build_chain_graph(rng)
+
+
+def test_seeded_path_used(chain):
+    graph, _ = chain
+    assert graph.n_segments > SEED_THRESHOLD
+
+
+def test_seeded_exact_reads(chain):
+    graph, seqs = chain
+    rng = random.Random(6)
+    reads = []
+    truths = []
+    for i in range(12):
+        start_seg = rng.randrange(0, len(seqs) - 3)
+        span = rng.randrange(1, 4)
+        seq = "".join(seqs[start_seg:start_seg + span])
+        reads.append((f"read{i}", seq))
+        truths.append((start_seg, span))
+    results = align_reads(graph, reads)
+    for (name, seq), (start_seg, span), (_, qlen, hits) in zip(reads, truths, results):
+        assert hits, f"{name} unaligned"
+        best = hits[0]
+        assert best.qstart == 0 and best.qend == len(seq)
+        assert best.nm == 0 and best.matches == len(seq)
+        want_path = "".join(f">s{start_seg + k}" for k in range(span))
+        assert best.path_str == want_path, (best.path_str, want_path)
+
+
+def test_seeded_revcomp_read(chain):
+    graph, seqs = chain
+    seq = revcomp(seqs[10] + seqs[11])
+    results = align_reads(graph, [("rc_read", seq)])
+    _, _, hits = results[0]
+    assert hits
+    assert hits[0].path_str == "<s11<s10"
+    assert hits[0].nm == 0
+
+
+def test_seeded_mutated_read(chain):
+    graph, seqs = chain
+    rng = random.Random(9)
+    seq = list(seqs[50])
+    for pos in (10, 40, 70):
+        seq[pos] = {"A": "C", "C": "G", "G": "T", "T": "A"}[seq[pos]]
+    results = align_reads(graph, [("mut", "".join(seq))])
+    _, _, hits = results[0]
+    assert hits
+    assert hits[0].path_str == ">s50"
+    assert hits[0].nm == 3
+
+
+def test_seeded_junk_read(chain):
+    graph, _ = chain
+    results = align_reads(graph, [("junk", "A" * 30)])
+    _, _, hits = results[0]
+    # poly-A junk may seed nowhere; must not crash and must not fake a
+    # high-identity hit
+    for h in hits:
+        assert h.nm > 0 or h.matches < 30 or h.blocklen >= 20
