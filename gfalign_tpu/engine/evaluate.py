@@ -7,17 +7,21 @@ classify best score < 0 as bad else good.
 
 The batched entry point scores a whole frontier of candidates in one device
 call (the reference re-scores sequentially per expansion; scores are
-deterministic per candidate so batching preserves output parity).
+deterministic per candidate so batching preserves output parity).  Read
+paths are packed once into a ReadBatch (padded key tensors + membership
+arrays); per-candidate filtering is then one vectorized membership lookup.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-from ..ops.nw_path import Step, batched_best_scores, nw_align_oracle, revcomp_path
+from ..ops.nw_path import (ORIENT_CODE, Step, _jitted_best_scores,
+                           _pallas_eligible, nw_align_oracle, pad_pow2,
+                           revcomp_path)
 
 
 @dataclass
@@ -27,45 +31,88 @@ class PathScore:
     unaligned: int = 0
 
 
-def filter_mask(candidate: Sequence[Step], read_paths: Sequence[Sequence[Step]]) -> Tuple[np.ndarray, int]:
-    """(keep_mask, unaligned) — a read is dropped if ANY of its steps visits
-    a node id outside the candidate's id set; every offending step counts
-    toward `unaligned` (reference src/eval.cpp:81-91)."""
-    ids = {s[0] for s in candidate}
-    keep = np.ones(len(read_paths), dtype=bool)
-    unaligned = 0
-    for i, rp in enumerate(read_paths):
-        bad_steps = sum(1 for s in rp if s[0] not in ids)
-        if bad_steps:
-            keep[i] = False
-            unaligned += bad_steps
-    return keep, unaligned
+class ReadBatch:
+    """Read paths packed once: padded encoded keys for the device scorer and
+    id arrays for vectorized candidate-membership filtering."""
+
+    def __init__(self, read_paths: Sequence[Sequence[Step]]):
+        self.paths = [list(map(Step._make, p)) for p in read_paths]
+        R = len(self.paths)
+        self.R = R
+        m_max = pad_pow2(max((len(p) for p in self.paths), default=1))
+        self.m = m_max
+        self.ids = np.full((R, m_max), -1, dtype=np.int64)
+        orients = np.zeros((R, m_max), dtype=np.int64)
+        self.lengths = np.zeros((R,), dtype=np.int32)
+        for i, p in enumerate(self.paths):
+            self.lengths[i] = len(p)
+            for j, s in enumerate(p):
+                self.ids[i, j] = s.id
+                orients[i, j] = ORIENT_CODE[s.orientation]
+        keys = np.where(self.ids >= 0, self.ids * 4 + orients, -2)
+        self.b_keys = keys.astype(np.int32)
+        self.valid = self.ids >= 0
+
+    def filter_against(self, candidate_ids: set) -> Tuple[np.ndarray, int]:
+        """(keep mask, unaligned count) — reference src/eval.cpp:81-91."""
+        if self.R == 0:
+            return np.zeros(0, bool), 0
+        member = np.isin(self.ids, np.fromiter(candidate_ids, dtype=np.int64,
+                                               count=len(candidate_ids)))
+        offending = self.valid & ~member
+        off_counts = offending.sum(axis=1)
+        keep = off_counts == 0
+        return keep, int(off_counts.sum())
+
+
+def _as_batch(read_paths) -> ReadBatch:
+    if isinstance(read_paths, ReadBatch):
+        return read_paths
+    return ReadBatch(read_paths)
+
+
+def _device_scores(candidates: Sequence[Sequence[Step]], batch: ReadBatch) -> np.ndarray:
+    """(C, R) best-of fw/rc scores using the batch's pre-encoded keys."""
+    from ..ops.nw_path import encode_path_batch
+
+    n_max = pad_pow2(max(len(c) for c in candidates))
+    C = len(candidates)
+    C_pad = pad_pow2(C, floor=1)
+    a_keys, a_len = encode_path_batch(
+        [[Step(*s) for s in c] for c in candidates]
+        + [[] for _ in range(C_pad - C)], n_max, pad_key=-1)
+    use_pallas = _pallas_eligible()
+    b_keys, b_len = batch.b_keys, batch.lengths
+    R = batch.R
+    if use_pallas and R % 128:
+        padn = 128 - R % 128
+        b_keys = np.concatenate([b_keys, np.full((padn, batch.m), -2, np.int32)])
+        b_len = np.concatenate([b_len, np.zeros((padn,), np.int32)])
+    scorer = _jitted_best_scores(use_pallas)
+    return np.asarray(scorer(a_keys, a_len, b_keys, b_len))[:C, :R]
 
 
 def evaluate_candidates(candidates: Sequence[Sequence[Step]],
-                        read_paths: Sequence[Sequence[Step]],
+                        read_paths: Union[ReadBatch, Sequence[Sequence[Step]]],
                         filter_alignments: bool = True) -> List[PathScore]:
     """Score a frontier of candidates in one batched device call."""
     results = [PathScore() for _ in candidates]
-    if not read_paths:
+    batch = _as_batch(read_paths)
+    if batch.R == 0 or not candidates:
         return results
     masks = []
     for ci, cand in enumerate(candidates):
         if filter_alignments:
-            keep, unaligned = filter_mask(cand, read_paths)
+            keep, unaligned = batch.filter_against({s[0] for s in cand})
             results[ci].unaligned = unaligned
         else:
-            keep = np.ones(len(read_paths), dtype=bool)
+            keep = np.ones(batch.R, dtype=bool)
         masks.append(keep)
-    union = np.any(np.stack(masks), axis=0) if masks else np.zeros(0, bool)
-    idx = np.nonzero(union)[0]
-    if idx.size == 0:
+    if not any(m.any() for m in masks):
         return results
-    sub_reads = [read_paths[i] for i in idx]
-    scores = batched_best_scores(candidates, sub_reads)  # (C, |idx|)
+    scores = _device_scores(candidates, batch)
     for ci in range(len(candidates)):
-        m = masks[ci][idx]
-        s = scores[ci][m]
+        s = scores[ci][masks[ci]]
         results[ci].bad = int((s < 0).sum())
         results[ci].good = int((s >= 0).sum())
     return results
@@ -109,3 +156,9 @@ def _alignment_string(a: List[Step], b: List[Step], id_to_name) -> str:
         else:
             parts.append("." * (len(id_to_name(sb.id)) + 1) + ",")
     return "".join(parts)
+
+
+# retained for tests / legacy callers
+def filter_mask(candidate: Sequence[Step],
+                read_paths: Sequence[Sequence[Step]]) -> Tuple[np.ndarray, int]:
+    return _as_batch(read_paths).filter_against({s[0] for s in candidate})

@@ -108,6 +108,8 @@ def search(graph: Graph,
     read_paths: List[List[Step]] = []
     if alignments is not None:
         read_paths = [[Step(i, o) for i, o in p] for p in alignments.paths_as_ids(name_to_id)]
+    from .evaluate import ReadBatch
+    read_batch = ReadBatch(read_paths)
 
     table = NodeTable.from_file(node_file, name_to_id)
     # unknown source/destination names default-insert uId 0, matching phmap
@@ -175,7 +177,7 @@ def search(graph: Graph,
                         seen_keys.add(key)
                         to_score.append((key, new_steps))
         if to_score:
-            results = evaluate_fn([s for _, s in to_score], read_paths,
+            results = evaluate_fn([s for _, s in to_score], read_batch,
                                   filter_alignments=True)
             if len(score_cache) > 200000:
                 score_cache.clear()

@@ -14,6 +14,8 @@ from gfalign_tpu.ops.nw_path import Step, nw_score_oracle, revcomp_path
 
 
 def oracle_evaluator(candidates, read_paths, filter_alignments=True):
+    if hasattr(read_paths, "paths"):  # ReadBatch
+        read_paths = read_paths.paths
     out = []
     for cand in candidates:
         score = PathScore()
