@@ -18,7 +18,3 @@ def align_mode(graph, read_files, out_file: str, preset: str = "hifi") -> None:
     from .graph_align import run_graph_aligner
     run_graph_aligner(graph, read_files, out_file, preset)
 
-
-def _not_ready(*_a, **_k):  # pragma: no cover
-    print("align engine not available in this build", file=sys.stderr)
-    raise SystemExit(1)

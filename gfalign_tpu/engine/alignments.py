@@ -28,7 +28,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..graph.model import Graph, flip
+from ..graph.model import flip
 from ..utils.fmt import cout, label
 from ..utils.log import lg
 

@@ -15,7 +15,7 @@ arrays); per-candidate filtering is then one vectorized membership lookup.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Sequence, Tuple, Union
 
 import numpy as np
 

@@ -54,7 +54,6 @@ def allreduce_stats(totals: List[int], mesh=None) -> List[int]:
     if count == 1 and mesh is None:
         return list(totals)
     import jax
-    import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
