@@ -79,6 +79,64 @@ _MODE_OPTS = {
 }
 
 
+_MODE_HELP = {
+    0: """gfalign align [options]
+
+Options:
+-f --input-sequence sequence input file (GFA1/2).
+-g --input-alignment alignment input file (currently supports: GAF).
+-r --input-reads reads to align (FASTQ/FASTA, repeatable).
+-o --out-format ouput to file or stdout (currently supports: GAF).
+-p --preset alignment presets (currently supports: hifi|CLR).
+-v --version software version.
+--graph-statistics output graph statistics (default: false).
+--cmd print $0 to stdout.
+""",
+    1: """gfalign evalGFA [options]
+
+Options:
+-f --input-sequence sequence input file (GFA1/2).
+-g --input-alignment alignment input file (currently supports: GAF).
+-o --out-format ouput to file or stdout (currently supports: GFA, GAF).
+--graph-statistics output graph statistics (default: false).
+--sort-alignment output alignment sorted by query name.
+--output-terminal-alignments output terminal alignments.
+""",
+    2: """gfalign subgraph [options]
+Options:
+-f --input-sequence sequence input file (GFA1/2).
+-n --node-file list of nodes to retain in the subgraph.
+-o --out-format ouput to file or stdout (currently supports: GFA).
+""",
+    3: """gfalign search [options]
+Options:
+-d --destination <string> destination node.
+-f --input-sequence <filename> sequence input file (GFA1/2).
+-g --input-alignment alignment input file (currently supports: GAF).
+-m --max-steps <int> limit graph exploration.
+-n --node-file <filename> list of nodes available to the search.
+-s --source <string> source node.
+--return-all-paths return all viable paths as they are discovered, not only better ones (default: false).
+--graph-statistics output graph statistics (default: false).
+--min-nodes <int> do not report paths with less than int nodes (default: 0).
+""",
+    4: """gfalign filter [options]
+Options:
+-g --input-alignment alignment input file (currently supports: GAF).
+-n --node-file <filename> list of nodes available to the search.
+-o --out-format ouput to file or stdout (currently supports: GAF).
+--min-nodes <int> retain alignments mapping to at least int nodes.
+""",
+    5: """gfalign evalPath [options]
+Options:
+-p --path in GFA format.
+-f --input-sequence <filename> sequence input file (GFA1/2).
+-g --input-alignment alignment input file (currently supports: GAF).
+--graph-statistics output graph statistics (default: false).
+""",
+}
+
+
 def _print_version() -> None:
     print(f"gfalign-tpu v{VERSION}")
     raise SystemExit(0)
@@ -153,7 +211,7 @@ def parse_args(argv: List[str]) -> UserInput:
         elif opt in ("-v", "--version"):
             _print_version()
         elif opt in ("-h", "--help"):
-            print(f"gfalign {argv[0]} [options]\nsee README for options")
+            print(_MODE_HELP[mode], end="")
             raise SystemExit(0)
     # positional reads (mode 0 allows bare file arguments after -r)
     if mode == 0:
