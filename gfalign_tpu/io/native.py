@@ -121,6 +121,12 @@ def parse_gaf(path: str, want_tokens: bool = False):
         return None
     try:
         count = lib.gaf_count(handle)
+        if count == 0:
+            empty_tokens = GafTokens(np.zeros(0, np.int32), np.zeros(0, np.int8),
+                                     np.zeros(1, np.int32), [])
+            if want_tokens:
+                return np.zeros((0, 10), np.int64), [], [], [], empty_tokens
+            return np.zeros((0, 10), np.int64), [], [], []
         numeric = np.ctypeslib.as_array(lib.gaf_numeric(handle),
                                         shape=(count, 10)).copy()
         out_len = ctypes.c_int64()

@@ -1,0 +1,92 @@
+"""Edge-case robustness: unusual GFA/GAF shapes and CLI flag behaviors."""
+
+import io
+import os
+import sys
+
+import pytest
+
+from .conftest import REFERENCE
+
+from gfalign_tpu.engine.alignments import AlignmentSet
+from gfalign_tpu.io.gfa import parse_gfa_lines
+
+fixtures = pytest.mark.skipif(not (REFERENCE / "testFiles").is_dir(),
+                              reason="reference fixtures not mounted")
+
+
+def test_gfa_star_sequence_with_ln_tag():
+    g = parse_gfa_lines(["S\tx\t*\tLN:i:1234", "S\ty\tACGT"])
+    assert g.segment(g.name_to_id["x"]).length == 1234
+    assert g.segment(g.name_to_id["x"]).seq == ""
+    assert g.segment(g.name_to_id["y"]).length == 4
+
+
+def test_gfa_forward_referenced_segment():
+    # L line mentions 'b' before its S line; uids must stay consistent
+    g = parse_gfa_lines(["S\ta\tAAAA", "L\ta\t+\tb\t+\t0M", "S\tb\tCCCC"])
+    assert g.segment(g.name_to_id["b"]).seq == "CCCC"
+    e = g.links[0]
+    assert (g.segment(e.s1).name, g.segment(e.s2).name) == ("a", "b")
+
+
+def test_empty_gaf(tmp_path):
+    p = tmp_path / "empty.gaf"
+    p.write_text("")
+    a = AlignmentSet()
+    a.load(str(p))
+    assert a.count == 0
+    buf = io.StringIO()
+    a.print_stats(buf)
+    assert "# alignments: 0" in buf.getvalue()
+    assert "nan" in buf.getvalue()  # 0/0 averages print nan like the reference
+
+
+def test_gaf_record_without_tags(tmp_path):
+    p = tmp_path / "x.gaf"
+    line = "r\t10\t0\t10\t+\t>n\t10\t0\t10\t10\t10\t60"
+    p.write_text(line + "\n")
+    a = AlignmentSet()
+    a.load(str(p))
+    assert a.line_at(0) == line + "\n"
+
+
+@fixtures
+def test_search_max_steps_cap(tmp_path):
+    """`-m` cap prints the reference's 'Reached maximum number of steps'
+    line (src/eval.cpp:190-191)."""
+    from gfalign_tpu.cli.main import main
+
+    (tmp_path / "testFiles").symlink_to(REFERENCE / "testFiles")
+    old_cwd, old_stdout = os.getcwd(), sys.stdout
+    buf = io.StringIO()
+    try:
+        os.chdir(tmp_path)
+        sys.stdout = buf
+        main(["search", "-f", "testFiles/random3.gfa",
+              "-n", "testFiles/random3.search_nodelist.tsv",
+              "-s", "1", "-d", "4", "-m", "2"])
+    finally:
+        os.chdir(old_cwd)
+        sys.stdout = old_stdout
+    assert "Reached maximum number of steps (2)" in buf.getvalue()
+
+
+@fixtures
+def test_search_min_nodes_filters_reports(tmp_path):
+    from gfalign_tpu.cli.main import main
+
+    (tmp_path / "testFiles").symlink_to(REFERENCE / "testFiles")
+    old_cwd, old_stdout = os.getcwd(), sys.stdout
+    buf = io.StringIO()
+    try:
+        os.chdir(tmp_path)
+        sys.stdout = buf
+        main(["search", "-f", "testFiles/random3.gfa",
+              "-n", "testFiles/random3.search_nodelist.tsv",
+              "-s", "1", "-d", "4", "--min-nodes", "4"])
+    finally:
+        os.chdir(old_cwd)
+        sys.stdout = old_stdout
+    rows = [r for r in buf.getvalue().splitlines() if r]
+    assert len(rows) == 1 and rows[0].endswith("1+,2+,3+,4+")
