@@ -97,6 +97,11 @@ def _jitted_forward():
 
 
 def batched_local_scores(read_codes: np.ndarray, path_codes: np.ndarray):
+    # NOTE: ops/seqalign_pallas.py holds an anti-diagonal Pallas version
+    # (bit-exact in interpret mode) but the current Mosaic release crashes
+    # compiling its per-step head-row slice (Check failed: limits[i] <=
+    # dim(i) in vector_extract); the XLA row kernel stays the production
+    # path until that is resolved.  See CLAUDE.md round-2 agenda.
     fn = _jitted_forward()
     best, bi, bj = fn(read_codes, path_codes)
     return np.asarray(best), np.asarray(bi), np.asarray(bj)

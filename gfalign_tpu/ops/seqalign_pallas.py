@@ -1,0 +1,169 @@
+"""Pallas TPU kernel for the align-mode local-alignment forward pass.
+
+Anti-diagonal formulation of ops/seqalign.local_forward (same recurrence,
+match +1 / mismatch -2 / linear gap -3, floor at 0):
+
+    H_d[k] = max(0, H_{d-2}[k-1] + S(d-k, k),
+                    H_{d-1}[k] + G, H_{d-1}[k-1] + G)
+
+No intra-step dependency (the horizontal predecessor lives on the previous
+diagonal), so each step is pure VPU work — the row formulation's log(Lp)
+cummax disappears.
+
+Best-cell tie-breaking matches the row kernel exactly: smallest end row i,
+then smallest end column j.  Encoded as a packed key v*(Lr+2) - i updated
+strictly-greater: a (v, i) tie keeps the earlier diagonal, which is the
+smaller j.
+
+Layout per kernel instance (grid = (n_reads, n_paths)): path offset k on
+sublanes (Lp+1), a single (read, path) pair per program, lanes used for
+k-vector parallelism... no: k on sublanes requires the lane dim too, so k
+is split (sublane, lane) as a (ceil((Lp+1)/128), 128) 2D layout?  Simpler
+and efficient: reads on lanes (TILE 128), one path per grid column —
+mirrors nw_pallas.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .seqalign import GAP, MATCH, MISMATCH, PAD, _BLOCK
+
+TILE_R = 128
+SENT = -(1 << 20)
+
+
+def _kernel_factory(lr: int, lp: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    n_diag = lr + lp
+    rap_len = lr + 2 * lp
+    KEY_SCALE = lr + 2
+
+    def kernel(rc_ref, ps_ref, out_ref):
+        # rc_ref:  (1, lr, TILE_R) read codes, one read per lane
+        # ps_ref:  (1, lp + 1, TILE_R) shifted path codes (row k = path[k-1],
+        #          lane-broadcast: the path is shared, lanes carry reads)
+        # out_ref: (1, 1, 4, TILE_R) int32: best, bi, bj, (pad)
+        #
+        # The A-window W_d[k] = read[d-1-k] is CARRIED and rolled one
+        # sublane per step (a per-step dynamic slice of the full window is
+        # an unaligned (lp+1)-row relayout and dominates runtime).
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (lp + 1, TILE_R), 0)
+        ps = ps_ref[0]
+
+        # all-zero init that DEPENDS on the per-lane read data: the
+        # comparison can't be constant-folded, so Mosaic infers a
+        # lane-varying layout for the loop carry (cf. ops/nw_pallas.py)
+        d0 = jnp.where(rc_ref[0, pl.ds(0, 1), :] < SENT, 1, 0).astype(jnp.int32)
+        d0 = jnp.broadcast_to(d0, (lp + 1, TILE_R)) + 0 * kidx
+        w0 = jnp.full((lp + 1, TILE_R), PAD, jnp.int32) + 0 * d0
+
+        def step(d, carry):
+            h_prev2, h_prev, w_prev, best_key, best_d = carry
+            # roll the window down one sublane; new head = read[d-1]
+            head = rc_ref[0, pl.ds(jnp.minimum(d - 1, lr - 1), 1), :]
+            head = jnp.where(d <= lr, head, PAD)
+            w = jnp.where(kidx == 0, head, jnp.roll(w_prev, 1, axis=0))
+            is_pad = (w == PAD) | (ps == PAD) | (w < 0) | (ps < 0)
+            match = (~is_pad) & (w < 4) & (ps < 4) & (w == ps)
+            s = jnp.where(is_pad, _BLOCK,
+                          jnp.where(match, MATCH, MISMATCH)).astype(jnp.int32)
+            prev2_sh = jnp.where(kidx == 0, SENT, jnp.roll(h_prev2, 1, axis=0))
+            prev_sh = jnp.where(kidx == 0, SENT, jnp.roll(h_prev, 1, axis=0))
+            cur = jnp.maximum(
+                0, jnp.maximum(prev2_sh + s,
+                               jnp.maximum(h_prev + GAP, prev_sh + GAP)))
+            cur = jnp.where(kidx == 0, 0, cur)
+            cur = jnp.where(kidx == d, 0, cur)          # row 0 (i == 0)
+            cur = jnp.where(kidx > d, 0, cur)           # invalid region
+            # packed selection key: value major, smaller i (= d - k) wins ties
+            i_row = d - kidx
+            key = cur * KEY_SCALE - i_row
+            key = jnp.where((kidx > 0) & (kidx <= jnp.minimum(d - 1, lp)),
+                            key, SENT)
+            step_best = key.max(axis=0)                  # (TILE_R,)
+            improved = step_best > best_key
+            best_key = jnp.where(improved, step_best, best_key)
+            best_d = jnp.where(improved, d, best_d)
+            return h_prev, cur, w, best_key, best_d
+
+        zero_lane = d0[0, :]
+        init = (0 * d0, 0 * d0, w0, zero_lane + SENT, zero_lane)
+        _, _, _, best_key, best_d = jax.lax.fori_loop(1, n_diag + 1, step, init)
+        # unpack the winning (value, end row); end column = diagonal - row
+        best_v = jnp.where(best_key == SENT, 0,
+                           (best_key + KEY_SCALE - 1) // KEY_SCALE)
+        best_i = best_v * KEY_SCALE - best_key
+        best_j = best_d - best_i
+        # match the XLA row kernel: a best of 0 reports end cell (0, 0)
+        ok = best_v > 0
+        out_ref[0, 0, 0, :] = jnp.where(ok, best_v, 0)
+        out_ref[0, 0, 1, :] = jnp.where(ok, best_i, 0)
+        out_ref[0, 0, 2, :] = jnp.where(ok, best_j, 0)
+        out_ref[0, 0, 3, :] = zero_lane
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_forward(lr: int, lp: int, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = _kernel_factory(lr, lp)
+
+    def forward(rc, ps):
+        # rc: (T, lr, TILE_R) read codes, one read per lane
+        # ps: (P, lp + 1, TILE_R) path codes (lane-broadcast)
+        T = rc.shape[0]
+        P = ps.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(T, P),
+            in_specs=[
+                pl.BlockSpec((1, lr, TILE_R), lambda t, p: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lp + 1, TILE_R), lambda t, p: (p, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 4, TILE_R), lambda t, p: (t, p, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T, P, 4, TILE_R), jnp.int32),
+            interpret=interpret,
+        )(rc, ps)
+
+    return forward
+
+
+def local_forward_pallas(read_codes: np.ndarray, path_codes: np.ndarray,
+                         interpret: bool = False):
+    """Drop-in for ops.seqalign.local_forward: (best, bi, bj) each (R, P).
+
+    read_codes: (R, Lr) int8, path_codes: (P, Lp) int8.  R is padded to
+    TILE_R internally."""
+    import jax.numpy as jnp
+
+    R, lr = read_codes.shape
+    P, lp = path_codes.shape
+    T = -(-R // TILE_R)
+    Rp = T * TILE_R
+
+    rc = np.full((Rp, lr), PAD, dtype=np.int32)
+    rc[:R] = read_codes.astype(np.int32)
+    rc = rc.reshape(T, TILE_R, lr).transpose(0, 2, 1).copy()
+
+    ps = np.full((P, lp + 1), PAD, dtype=np.int32)
+    ps[:, 1:] = path_codes.astype(np.int32)
+    ps = np.broadcast_to(ps[:, :, None], (P, lp + 1, TILE_R)).copy()
+
+    fwd = _build_forward(lr, lp, interpret)
+    out = np.asarray(fwd(jnp.asarray(rc), jnp.asarray(ps)))  # (T, P, 4, TILE_R)
+    out = out.transpose(0, 3, 1, 2).reshape(Rp, P, 4)[:R]
+    return out[:, :, 0], out[:, :, 1], out[:, :, 2]

@@ -54,3 +54,29 @@ def test_align_read_with_n(tmp_path):
     assert len(lines) == 1
     cols = lines[0].split("\t")
     assert cols[5] == ">11" and cols[12] == "NM:i:2"
+
+
+def test_seqalign_pallas_interpret_matches_xla():
+    """Anti-diagonal Pallas local-alignment forward (interpret mode) is
+    bit-exact with the XLA row kernel, including end-cell tie-breaking."""
+    import numpy as np
+    from gfalign_tpu.ops.seqalign import PAD, _jitted_forward
+    from gfalign_tpu.ops.seqalign_pallas import local_forward_pallas
+
+    rng = np.random.default_rng(3)
+    R, Lr, P, Lp = 16, 32, 4, 48
+    reads = np.full((R, Lr), PAD, dtype=np.int8)
+    for i in range(R):
+        length = rng.integers(8, Lr + 1)
+        reads[i, :length] = rng.integers(0, 5, length)  # incl. N
+    paths = np.full((P, Lp), PAD, dtype=np.int8)
+    for i in range(P):
+        length = rng.integers(16, Lp + 1)
+        paths[i, :length] = rng.integers(0, 4, length)
+    paths[0, 3:19] = reads[0, :16]  # plant a hit
+    xla = _jitted_forward()
+    b1, i1, j1 = [np.asarray(x) for x in xla(reads, paths)]
+    b2, i2, j2 = local_forward_pallas(reads, paths, interpret=True)
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(j1, j2)
