@@ -41,11 +41,12 @@ def _kernel_factory(lr: int, lp: int):
     from jax.experimental import pallas as pl
 
     n_diag = lr + lp
-    rap_len = lr + 2 * lp
+    lr_pad = (-(-n_diag // 8)) * 8   # rows available for aligned 8-slices
     KEY_SCALE = lr + 2
 
     def kernel(rc_ref, ps_ref, out_ref):
-        # rc_ref:  (1, lr, TILE_R) read codes, one read per lane
+        # rc_ref:  (1, lr_pad, TILE_R) read codes (PAD rows beyond lr),
+        #          one read per lane
         # ps_ref:  (1, lp + 1, TILE_R) shifted path codes (row k = path[k-1],
         #          lane-broadcast: the path is shared, lanes carry reads)
         # out_ref: (1, 1, 4, TILE_R) int32: best, bi, bj, (pad)
@@ -63,10 +64,19 @@ def _kernel_factory(lr: int, lp: int):
         d0 = jnp.broadcast_to(d0, (lp + 1, TILE_R)) + 0 * kidx
         w0 = jnp.full((lp + 1, TILE_R), PAD, jnp.int32) + 0 * d0
 
-        def step(d, carry):
+        def block_step(blk, carry):
+            # 8 diagonals per outer step: the head rows for d = 8*blk+1 ..
+            # 8*blk+8 are an 8-SUBLANE-ALIGNED slice of the read codes
+            # (Mosaic crashes on per-step unaligned single-row slices)
+            start = pl.multiple_of(blk * 8, 8)
+            head_block = rc_ref[0, pl.ds(start, 8), :]          # (8, TILE_R)
+            for r in range(8):
+                carry = step(blk * 8 + r + 1, head_block[r:r + 1, :], carry)
+            return carry
+
+        def step(d, head, carry):
             h_prev2, h_prev, w_prev, best_key, best_d = carry
             # roll the window down one sublane; new head = read[d-1]
-            head = rc_ref[0, pl.ds(jnp.minimum(d - 1, lr - 1), 1), :]
             head = jnp.where(d <= lr, head, PAD)
             w = jnp.where(kidx == 0, head, jnp.roll(w_prev, 1, axis=0))
             is_pad = (w == PAD) | (ps == PAD) | (w < 0) | (ps < 0)
@@ -94,7 +104,8 @@ def _kernel_factory(lr: int, lp: int):
 
         zero_lane = d0[0, :]
         init = (0 * d0, 0 * d0, w0, zero_lane + SENT, zero_lane)
-        _, _, _, best_key, best_d = jax.lax.fori_loop(1, n_diag + 1, step, init)
+        n_blocks = -(-n_diag // 8)
+        _, _, _, best_key, best_d = jax.lax.fori_loop(0, n_blocks, block_step, init)
         # unpack the winning (value, end row); end column = diagonal - row
         best_v = jnp.where(best_key == SENT, 0,
                            (best_key + KEY_SCALE - 1) // KEY_SCALE)
@@ -118,9 +129,10 @@ def _build_forward(lr: int, lp: int, interpret: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     kernel = _kernel_factory(lr, lp)
+    lr_pad = (-(-(lr + lp) // 8)) * 8
 
     def forward(rc, ps):
-        # rc: (T, lr, TILE_R) read codes, one read per lane
+        # rc: (T, lr_pad, TILE_R) read codes, one read per lane
         # ps: (P, lp + 1, TILE_R) path codes (lane-broadcast)
         T = rc.shape[0]
         P = ps.shape[0]
@@ -128,7 +140,7 @@ def _build_forward(lr: int, lp: int, interpret: bool = False):
             kernel,
             grid=(T, P),
             in_specs=[
-                pl.BlockSpec((1, lr, TILE_R), lambda t, p: (t, 0, 0),
+                pl.BlockSpec((1, lr_pad, TILE_R), lambda t, p: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, lp + 1, TILE_R), lambda t, p: (p, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -155,9 +167,10 @@ def local_forward_pallas(read_codes: np.ndarray, path_codes: np.ndarray,
     T = -(-R // TILE_R)
     Rp = T * TILE_R
 
-    rc = np.full((Rp, lr), PAD, dtype=np.int32)
-    rc[:R] = read_codes.astype(np.int32)
-    rc = rc.reshape(T, TILE_R, lr).transpose(0, 2, 1).copy()
+    lr_pad = (-(-(lr + lp) // 8)) * 8
+    rc = np.full((Rp, lr_pad), PAD, dtype=np.int32)
+    rc[:R, :lr] = read_codes.astype(np.int32)
+    rc = rc.reshape(T, TILE_R, lr_pad).transpose(0, 2, 1).copy()
 
     ps = np.full((P, lp + 1), PAD, dtype=np.int32)
     ps[:, 1:] = path_codes.astype(np.int32)
