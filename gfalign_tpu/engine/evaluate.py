@@ -108,9 +108,30 @@ def evaluate_candidates(candidates: Sequence[Sequence[Step]],
         else:
             keep = np.ones(batch.R, dtype=bool)
         masks.append(keep)
-    if not any(m.any() for m in masks):
+    union = np.logical_or.reduce(masks) if masks else np.zeros(0, bool)
+    if not union.any():
         return results
-    scores = _device_scores(candidates, batch)
+    # score only reads that at least one candidate keeps (bucketed subset:
+    # post-filter tangle workloads often drop most reads per expansion)
+    if union.sum() <= batch.R // 2:
+        idx = np.nonzero(union)[0]
+        Rp = pad_pow2(len(idx))  # bucketed so subset sizes share compiles
+        sub = ReadBatch.__new__(ReadBatch)
+        sub.paths = [batch.paths[i] for i in idx]
+        sub.R = Rp
+        sub.m = batch.m
+        sub.b_keys = np.full((Rp, batch.m), -2, np.int32)
+        sub.b_keys[:len(idx)] = batch.b_keys[idx]
+        sub.lengths = np.zeros((Rp,), np.int32)
+        sub.lengths[:len(idx)] = batch.lengths[idx]
+        sub.ids = np.full((Rp, batch.m), -1, np.int64)
+        sub.ids[:len(idx)] = batch.ids[idx]
+        sub.valid = sub.ids >= 0
+        scores_sub = _device_scores(candidates, sub)[:, :len(idx)]
+        scores = np.zeros((len(candidates), batch.R), dtype=scores_sub.dtype)
+        scores[:, idx] = scores_sub
+    else:
+        scores = _device_scores(candidates, batch)
     for ci in range(len(candidates)):
         s = scores[ci][masks[ci]]
         results[ci].bad = int((s < 0).sum())

@@ -100,3 +100,18 @@ def test_filter_writes_literal_gaf_file(workdir):
     reference_gaf = (REFERENCE / "gaf")
     if reference_gaf.is_file():
         assert gaf == reference_gaf.read_text()
+
+
+def test_standalone_validator(tmp_path):
+    """gfalign-validate (the reference's C18 harness equivalent) passes the
+    reference suite and fails a corrupted expectation."""
+    from gfalign_tpu.cli import validate
+
+    assert validate.main([str(VALIDATE_DIR)]) == 0
+    bad = tmp_path / "validateFiles"
+    bad.mkdir()
+    (tmp_path / "testFiles").symlink_to(REFERENCE / "testFiles")
+    src = (VALIDATE_DIR / "test.0.tst").read_text()
+    (bad / "corrupt.tst").write_text(src.replace("# alignments: 4",
+                                                 "# alignments: 5"))
+    assert validate.main([str(bad)]) == 1
