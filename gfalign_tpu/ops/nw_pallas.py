@@ -207,12 +207,15 @@ def nw_pair_scores_pallas(a_keys, a_len, b_keys, b_len, interpret: bool = False)
 
 
 def nw_best_scores_pallas(a_keys, a_len, b_keys, b_len, interpret: bool = False):
-    """max(forward, reverse-complement) scores via the Pallas forward."""
+    """max(forward, reverse-complement) scores via the Pallas forward.
+
+    fw and rc batches are stacked into one 2R-row kernel invocation."""
     import jax.numpy as jnp
 
     from .nw_path import rc_keys_device
 
-    fw = nw_pair_scores_pallas(a_keys, a_len, b_keys, b_len, interpret)
-    rc = nw_pair_scores_pallas(a_keys, a_len, rc_keys_device(b_keys, b_len),
-                               b_len, interpret)
-    return jnp.maximum(fw, rc)
+    both = jnp.concatenate([b_keys, rc_keys_device(b_keys, b_len)], axis=0)
+    both_len = jnp.concatenate([b_len, b_len], axis=0)
+    scores = nw_pair_scores_pallas(a_keys, a_len, both, both_len, interpret)
+    R = b_keys.shape[0]
+    return jnp.maximum(scores[:, :R], scores[:, R:])

@@ -115,17 +115,15 @@ def batched_local_scores(read_codes: np.ndarray, path_codes: np.ndarray):
 def _matrix(read: np.ndarray, path: np.ndarray) -> np.ndarray:
     Lr, Lp = len(read), len(path)
     H = np.zeros((Lr + 1, Lp + 1), dtype=np.int32)
+    decay = -GAP * np.arange(Lp, dtype=np.int32)  # max-plus decay offsets
     for i in range(1, Lr + 1):
         rc = read[i - 1]
         sub = np.where((path == PAD) | (rc == PAD), _BLOCK,
                        np.where((path < 4) & (rc < 4) & (path == rc), MATCH, MISMATCH))
-        row = H[i]
         prev = H[i - 1]
         c = np.maximum(0, np.maximum(prev[:-1] + sub, prev[1:] + GAP))
-        run = 0
-        for j in range(1, Lp + 1):
-            run = max(c[j - 1], run + GAP)
-            row[j] = run
+        # horizontal chain H[j] = max(c[j], H[j-1]+GAP) as one accumulate
+        H[i, 1:] = np.maximum.accumulate(c + decay) - decay
     return H
 
 
