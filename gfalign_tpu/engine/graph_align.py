@@ -251,22 +251,103 @@ def align_reads(graph: Graph, reads: Sequence[Tuple[str, str]],
 
 
 def _align_seeded(graph: Graph, reads, min_score: int):
+    """Seeded mode scores (read, candidate-path) PAIRS, not the read x path
+    cross product: each read's anchors nominate a handful of paths, so the
+    work is O(sum of candidates) with pow2 shape buckets."""
+    from collections import defaultdict
+
+    from ..ops.nw_path import pad_pow2
     from .seeding import KmerIndex, paths_around_anchor
 
     index = KmerIndex(graph)
     lut = overlap_table(graph)
-    out = []
-    for start in range(0, len(reads), SEED_CHUNK):
-        chunk = reads[start:start + SEED_CHUNK]
-        union: Dict[tuple, List[Tuple[int, str]]] = {}
-        for _, seq in chunk:
-            codes = encode_seq(seq)
-            for anchor in index.anchors(codes):
-                for steps in paths_around_anchor(graph, anchor, len(seq)):
-                    union.setdefault(tuple(steps), steps)
-        paths = [build_oriented(graph, steps, lut) for steps in union.values()]
-        out.extend(_align_with_paths(graph, chunk, paths, min_score))
-    return out
+    path_cache: Dict[tuple, OrientedPath] = {}
+    code_cache: Dict[tuple, np.ndarray] = {}
+    cand_lists: List[List[tuple]] = []
+    for _, seq in reads:
+        cands: List[tuple] = []
+        seen = set()
+        for anchor in index.anchors(encode_seq(seq)):
+            for steps in paths_around_anchor(graph, anchor, len(seq)):
+                key = tuple(steps)
+                if key in seen:
+                    continue
+                seen.add(key)
+                if key not in path_cache:
+                    op = build_oriented(graph, steps, lut)
+                    path_cache[key] = op
+                    code_cache[key] = encode_seq(op.seq)
+                cands.append(key)
+        cand_lists.append(cands)
+
+    work = [np.array(encode_seq(seq), dtype=np.int8) for _, seq in reads]
+    all_hits: List[List[GafHit]] = [[] for _ in reads]
+    accepted: List[List[Tuple[int, int]]] = [[] for _ in reads]
+    active = [r for r in range(len(reads)) if cand_lists[r]]
+
+    def score_pairs(pairs):
+        """Bucketed pairwise device scoring -> {pair_index: (v, bi, bj)}."""
+        buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
+        for n, (r, key) in enumerate(pairs):
+            lr_b = pad_pow2(len(work[r]), floor=16)
+            lp_b = pad_pow2(len(code_cache[key]), floor=16)
+            buckets[(lr_b, lp_b)].append(n)
+        results: Dict[int, Tuple[int, int, int]] = {}
+        for (lr_b, lp_b), idxs in buckets.items():
+            n_pad = pad_pow2(len(idxs), floor=8)
+            rc = np.full((n_pad, lr_b), seqalign.PAD, np.int8)
+            pc = np.full((n_pad, lp_b), seqalign.PAD, np.int8)
+            for slot, n in enumerate(idxs):
+                r, key = pairs[n]
+                rc[slot, :len(work[r])] = work[r]
+                pc[slot, :len(code_cache[key])] = code_cache[key]
+            best, bi, bj = seqalign.batched_pair_scores(rc, pc)
+            for slot, n in enumerate(idxs):
+                results[n] = (int(best[slot]), int(bi[slot]), int(bj[slot]))
+        return results
+
+    for _round in range(4):
+        if not active:
+            break
+        pairs = [(r, key) for r in active for key in cand_lists[r]]
+        scored = score_pairs(pairs)
+        by_read: Dict[int, List[Tuple[int, int, int, tuple]]] = defaultdict(list)
+        for n, (r, key) in enumerate(pairs):
+            v, bi, bj = scored[n]
+            by_read[r].append((v, bi, bj, key))
+        next_active = []
+        for r in active:
+            entries = sorted(by_read[r], key=lambda e: -e[0])
+            placed = False
+            rcodes = work[r]
+            qlen = len(rcodes)
+            for v, bi, bj, key in entries:
+                if v < min_score:
+                    break
+                path = path_cache[key]
+                pl = seqalign.traceback(rcodes, code_cache[key], bi, bj)
+                if pl.score < min_score:
+                    continue
+                if any(not (pl.qend <= a or pl.qstart >= b)
+                       for a, b in accepted[r]):
+                    continue
+                path_str, plen, ps, pe = _trim_to_subpath(
+                    graph, path, pl.pstart, pl.pend)
+                accepted[r].append((pl.qstart, pl.qend))
+                blocklen = sum(x for x, _ in pl.cigar)
+                all_hits[r].append(GafHit(pl.score, pl.qstart, pl.qend,
+                                          path_str, plen, ps, pe, pl.matches,
+                                          pl.nm, blocklen, _cigar_str(pl.cigar)))
+                placed = True
+            if placed:
+                for a, b in accepted[r]:
+                    work[r][a:b] = seqalign.PAD
+                if _longest_uncovered(qlen, accepted[r]) >= min_score:
+                    next_active.append(r)
+        active = next_active
+
+    return [(name, len(seq), sorted(all_hits[r], key=lambda h: -h.score))
+            for r, (name, seq) in enumerate(reads)]
 
 
 def _align_with_paths(graph: Graph, reads: Sequence[Tuple[str, str]],
@@ -275,13 +356,18 @@ def _align_with_paths(graph: Graph, reads: Sequence[Tuple[str, str]],
     if not paths or not reads:
         return [(name, len(seq), []) for name, seq in reads]
 
-    max_lr = max(len(seq) for _, seq in reads)
-    max_lp = max(len(p.seq) for p in paths)
+    # pow2 shape buckets: seeded chunks would otherwise compile a fresh
+    # kernel per chunk (expensive over a remote-compile transport)
+    from ..ops.nw_path import pad_pow2
+    max_lr = pad_pow2(max(len(seq) for _, seq in reads), floor=16)
+    max_lp = pad_pow2(max(len(p.seq) for p in paths), floor=16)
     R, P = len(reads), len(paths)
+    P_pad = pad_pow2(P, floor=1)  # bucket the path dim too (all-PAD dummies
+    # never reach min_score, so they are inert)
     read_codes = np.full((R, max_lr), seqalign.PAD, dtype=np.int8)
     for i, (_, seq) in enumerate(reads):
         read_codes[i, :len(seq)] = encode_seq(seq)
-    path_codes = np.full((P, max_lp), seqalign.PAD, dtype=np.int8)
+    path_codes = np.full((P_pad, max_lp), seqalign.PAD, dtype=np.int8)
     for i, p in enumerate(paths):
         path_codes[i, :len(p.seq)] = encode_seq(p.seq)
 
@@ -310,7 +396,7 @@ def _align_with_paths(graph: Graph, reads: Sequence[Tuple[str, str]],
             order = np.argsort(-best[ai], kind="stable")
             placed = False
             for pi in order:
-                if best[ai, pi] < min_score:
+                if best[ai, pi] < min_score or pi >= P:
                     break
                 pcodes = path_codes[pi, :len(paths[pi].seq)]
                 pl = seqalign.traceback(rcodes, pcodes,

@@ -90,6 +90,59 @@ def local_forward(read_codes, path_codes):
     return best, bi, bj
 
 
+def local_forward_pairs(read_codes, path_codes):
+    """Pairwise variant: row i of reads aligns against row i of paths only.
+
+    read_codes: (N, Lr), path_codes: (N, Lp) -> (best, bi, bj) each (N,).
+    Used by the seeded aligner, where each read has its own small candidate
+    path set — O(N) work instead of the O(R x P) cross product."""
+    import jax
+    import jax.numpy as jnp
+
+    N, Lr = read_codes.shape
+    _, Lp = path_codes.shape
+    jidx = jnp.arange(Lp + 1, dtype=jnp.int32)
+    gj = GAP * jidx
+
+    def row_step(carry, r_chars):
+        H, best, bi, bj, i = carry
+        r = r_chars[:, None]                                    # (N, 1)
+        is_pad = (r == PAD) | (path_codes == PAD)
+        match = (~is_pad) & (r < 4) & (path_codes < 4) & (r == path_codes)
+        s = jnp.where(is_pad, _BLOCK,
+                      jnp.where(match, MATCH, MISMATCH)).astype(jnp.int32)
+        c = jnp.maximum(0, jnp.maximum(H[:, :-1] + s, H[:, 1:] + GAP))
+        c0 = jnp.concatenate([jnp.zeros((N, 1), jnp.int32), c], axis=1)
+        z = jax.lax.cummax(c0 - gj[None, :], axis=1)
+        Hn = z + gj[None, :]
+        row_best = Hn.max(axis=1)
+        row_arg = Hn.argmax(axis=1).astype(jnp.int32)
+        improved = row_best > best
+        best = jnp.where(improved, row_best, best)
+        bi = jnp.where(improved, i + 1, bi)
+        bj = jnp.where(improved, row_arg, bj)
+        return (Hn, best, bi, bj, i + 1), None
+
+    H0 = jnp.zeros((N, Lp + 1), jnp.int32)
+    zero = jnp.zeros((N,), jnp.int32)
+    (H, best, bi, bj, _), _ = jax.lax.scan(
+        row_step, (H0, zero, zero, zero, jnp.int32(0)),
+        jnp.transpose(read_codes.astype(jnp.int32)))
+    return best, bi, bj
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_forward_pairs():
+    import jax
+    return jax.jit(local_forward_pairs)
+
+
+def batched_pair_scores(read_codes: np.ndarray, path_codes: np.ndarray):
+    fn = _jitted_forward_pairs()
+    best, bi, bj = fn(read_codes, path_codes)
+    return np.asarray(best), np.asarray(bi), np.asarray(bj)
+
+
 @functools.lru_cache(maxsize=None)
 def _jitted_forward():
     import jax
