@@ -287,10 +287,24 @@ def _align_seeded(graph: Graph, reads, min_score: int):
 
     def score_pairs(pairs):
         """Bucketed pairwise device scoring -> {pair_index: (v, bi, bj)}."""
+        try:
+            import jax
+
+            one_bucket = jax.default_backend() == "tpu"
+        except Exception:
+            one_bucket = False
+        if one_bucket and pairs:
+            # remote-compile transports pay ~30-60s per kernel shape; waste
+            # device FLOPs on one fat bucket instead of compiling many
+            g_lr = pad_pow2(max(len(work[r]) for r, _ in pairs), floor=16)
+            g_lp = pad_pow2(max(len(code_cache[k]) for _, k in pairs), floor=16)
         buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
         for n, (r, key) in enumerate(pairs):
-            lr_b = pad_pow2(len(work[r]), floor=16)
-            lp_b = pad_pow2(len(code_cache[key]), floor=16)
+            if one_bucket:
+                lr_b, lp_b = g_lr, g_lp
+            else:
+                lr_b = pad_pow2(len(work[r]), floor=16)
+                lp_b = pad_pow2(len(code_cache[key]), floor=16)
             buckets[(lr_b, lp_b)].append(n)
         results: Dict[int, Tuple[int, int, int]] = {}
         for (lr_b, lp_b), idxs in buckets.items():
