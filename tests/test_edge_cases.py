@@ -90,3 +90,20 @@ def test_search_min_nodes_filters_reports(tmp_path):
         sys.stdout = old_stdout
     rows = [r for r in buf.getvalue().splitlines() if r]
     assert len(rows) == 1 and rows[0].endswith("1+,2+,3+,4+")
+
+
+@fixtures
+def test_cmd_flag_echoes_argv(tmp_path):
+    from gfalign_tpu.cli.main import main
+
+    (tmp_path / "testFiles").symlink_to(REFERENCE / "testFiles")
+    old_cwd, old_stdout = os.getcwd(), sys.stdout
+    buf = io.StringIO()
+    try:
+        os.chdir(tmp_path)
+        sys.stdout = buf
+        main(["evalGFA", "-g", "testFiles/random1.gaf", "--cmd"])
+    finally:
+        os.chdir(old_cwd)
+        sys.stdout = old_stdout
+    assert buf.getvalue().startswith("gfalign ")
