@@ -20,8 +20,10 @@ formulation (same recurrence, same border quirks):
 
 Layout per kernel instance (grid = (C, R/TILE_R)):
   * diagonal offset k on sublanes (m+1 rows), reads on lanes (TILE_R=128);
-  * the A-window A[d-1-k] is a dynamic slice of a reversed padded copy of
-    the candidate keys (prepared outside), shifting one sublane per step;
+  * the A-window W_d[k] = A[d-1-k] is CARRIED and rolled one sublane per
+    step; incoming heads A[d-1] are fetched 8 at a time from an 8-aligned
+    slice (Mosaic makes unaligned multi-row dynamic slices expensive and
+    crashes on unaligned single-row ones), with static in-block row picks;
   * outputs: move codes (diagonal-major, int8) and per-diagonal dp values
     at each read's final column (dp[n][m] = dp value on diagonal
     a_len + b_len).
@@ -41,23 +43,32 @@ TILE_R = 128
 SENTINEL = -(1 << 20)  # A-window padding: never equals a key, dominates max
 
 
+def _pad_l(m: int) -> int:
+    return ((m + 8 + 7) // 8) * 8
+
+
+def _n_diag_pad(n: int, m: int) -> int:
+    return (-(-(n + m) // 8)) * 8
+
+
 def _kernel_factory(n: int, m: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
+    assert n % 8 == 0, "candidate dim must be padded to a multiple of 8"
     n_diag = n + m
-    rap_len = n + 2 * m
+    pad_l = _pad_l(m)
+    n_blocks = -(-n_diag // 8)
 
     def kernel(alen_ref, rap_ref, bs_ref, blen_ref, codes_ref, dpcol_ref):
         # alen_ref:  (1, 1, 1) int32 (SMEM) candidate length
-        # rap_ref:   (1, rap_len, TILE_R) reversed padded A keys
-        #            (pre-broadcast across lanes: Mosaic cannot relayout
-        #             a sliced (m+1, 1) vector to replicated lanes)
+        # rap_ref:   (1, pad_l + n, TILE_R): [SENTINEL]*pad_l + reverse(A)
+        #            (lane-broadcast; A pads are -1, also never matching)
         # bs_ref:    (1, m + 1, TILE_R) shifted read keys (row k = B[k-1])
         # blen_ref:  (1, 1, TILE_R) read lengths
-        # codes_ref: (1, 1, n_diag, m + 1, TILE_R) int8 move codes
-        # dpcol_ref: (1, 1, n_diag + 1, TILE_R) int32 dp at column b_len
+        # codes_ref: (1, 1, 8*n_blocks, m + 1, TILE_R) int8 move codes
+        # dpcol_ref: (1, 1, 8*n_blocks + 1, TILE_R) int32 dp at column b_len
         a_len = alen_ref[0, 0, 0]
         b_len = blen_ref[0, 0, :]
         kidx = jax.lax.broadcasted_iota(jnp.int32, (m + 1, TILE_R), 0)
@@ -65,21 +76,20 @@ def _kernel_factory(n: int, m: int):
         vgap = jnp.where(kidx < b_len[None, :], -1, 0).astype(jnp.int32)
         col_at_blen = kidx == b_len[None, :]
 
-        # diagonal 0: cell (0,0) = 0 (plus border placeholders).  The
-        # 0*b_len term makes d0 lane-varying: otherwise Mosaic infers a
-        # lane-replicated layout for the loop carry and fails to relayout
-        # the non-replicated `cur` into it.
-        # (b_len >= 0 is always true; the term exists only so layout
-        # inference can't constant-fold the lane dependence away)
+        # diagonal 0: cell (0,0) = 0 (plus border placeholders).  The b_len
+        # comparison makes d0 lane-varying: otherwise Mosaic infers a
+        # lane-replicated carry layout and fails to relayout `cur` into it
+        # (b_len >= 0 is always true; it exists so layout inference can't
+        # constant-fold the lane dependence away).
         d0 = jnp.where((kidx == 0) & (b_len[None, :] >= 0),
                        0, SENTINEL).astype(jnp.int32)
         dpcol_ref[0, 0, 0:1, :] = jnp.sum(jnp.where(col_at_blen, d0, 0),
                                           axis=0, keepdims=True)
+        w0 = jnp.full((m + 1, TILE_R), SENTINEL, jnp.int32) + 0 * d0
 
-        def step(d, carry):
-            d_prev2, d_prev = carry
-            # A window: W[k] = A[d-1-k] (SENTINEL outside A's extent)
-            w = rap_ref[0, pl.ds(m + n - d, m + 1), :]
+        def step(d, head, carry):
+            d_prev2, d_prev, w_prev = carry
+            w = jnp.where(kidx == 0, head, jnp.roll(w_prev, 1, axis=0))
             s = jnp.where(w == bs, 0, -1).astype(jnp.int32)
             prev2_sh = jnp.where(kidx == 0, SENTINEL, jnp.roll(d_prev2, 1, axis=0))
             prev_sh = jnp.where(kidx == 0, SENTINEL, jnp.roll(d_prev, 1, axis=0))
@@ -97,9 +107,19 @@ def _kernel_factory(n: int, m: int):
             codes_ref[0, 0, d - 1, :, :] = code
             dpcol_ref[0, 0, pl.ds(d, 1), :] = jnp.sum(
                 jnp.where(col_at_blen, cur, 0), axis=0, keepdims=True)
-            return d_prev, cur
+            return d_prev, cur, w
 
-        jax.lax.fori_loop(1, n_diag + 1, step, (d0, d0))
+        def block_step(blk, carry):
+            # heads for d = 8*blk+1 .. 8*blk+8 are rap2[pad_l+n-d]; the 8 of
+            # them are one 8-ALIGNED slice (pad_l and n are multiples of 8),
+            # picked by static row index 7-r inside the block
+            start = pl.multiple_of(pad_l + n - 8 * blk - 8, 8)
+            head_block = rap_ref[0, pl.ds(start, 8), :]
+            for r in range(8):
+                carry = step(8 * blk + r + 1, head_block[7 - r:8 - r, :], carry)
+            return carry
+
+        jax.lax.fori_loop(0, n_blocks, block_step, (d0, d0, w0))
 
     return kernel
 
@@ -111,13 +131,13 @@ def _build_pallas_forward(n: int, m: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n_diag = n + m
-    rap_len = n + 2 * m
+    pad_l = _pad_l(m)
+    n_diag_pad = _n_diag_pad(n, m)
     kernel = _kernel_factory(n, m)
 
     def forward(a_len_arr, rap, bs, blen):
-        # a_len_arr: (C, 1, 1); rap: (C, rap_len, 1); bs: (T, m+1, TILE_R);
-        # blen: (T, 1, TILE_R)
+        # a_len_arr: (C, 1, 1); rap: (C, pad_l + n, TILE_R);
+        # bs: (T, m+1, TILE_R); blen: (T, 1, TILE_R)
         C = a_len_arr.shape[0]
         T = bs.shape[0]
         return pl.pallas_call(
@@ -126,7 +146,7 @@ def _build_pallas_forward(n: int, m: int, interpret: bool = False):
             in_specs=[
                 pl.BlockSpec((1, 1, 1), lambda c, t: (c, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, rap_len, TILE_R), lambda c, t: (c, 0, 0),
+                pl.BlockSpec((1, pad_l + n, TILE_R), lambda c, t: (c, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, m + 1, TILE_R), lambda c, t: (t, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -134,16 +154,16 @@ def _build_pallas_forward(n: int, m: int, interpret: bool = False):
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, n_diag, m + 1, TILE_R),
+                pl.BlockSpec((1, 1, n_diag_pad, m + 1, TILE_R),
                              lambda c, t: (c, t, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, n_diag + 1, TILE_R),
+                pl.BlockSpec((1, 1, n_diag_pad + 1, TILE_R),
                              lambda c, t: (c, t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((C, T, n_diag, m + 1, TILE_R), jnp.int8),
-                jax.ShapeDtypeStruct((C, T, n_diag + 1, TILE_R), jnp.int32),
+                jax.ShapeDtypeStruct((C, T, n_diag_pad, m + 1, TILE_R), jnp.int8),
+                jax.ShapeDtypeStruct((C, T, n_diag_pad + 1, TILE_R), jnp.int32),
             ],
             interpret=interpret,
         )(a_len_arr, rap, bs, blen)
@@ -155,7 +175,9 @@ def nw_pair_scores_pallas(a_keys, a_len, b_keys, b_len, interpret: bool = False)
     """(C, R) traceback scores via the Pallas forward + XLA code walk.
 
     Same contract and bit-exact results as ops.nw_path.nw_pair_scores.
-    R must be a multiple of TILE_R (pad reads with b_len == 0)."""
+    R must be a multiple of TILE_R (pad reads with b_len == 0); the
+    candidate dim n must be a multiple of 8 (encode_path_batch's pow2
+    buckets satisfy both)."""
     import jax
     import jax.numpy as jnp
 
@@ -163,10 +185,17 @@ def nw_pair_scores_pallas(a_keys, a_len, b_keys, b_len, interpret: bool = False)
     R, m = b_keys.shape
     assert R % TILE_R == 0, "pad reads to TILE_R"
     T = R // TILE_R
+    if n % 8:  # block-slide needs an 8-multiple candidate dim
+        extra = 8 - n % 8
+        a_keys = jnp.concatenate(
+            [jnp.asarray(a_keys, jnp.int32),
+             jnp.full((C, extra), -1, jnp.int32)], axis=1)
+        n += extra
+    pad_l = _pad_l(m)
 
     rev = jnp.flip(a_keys.astype(jnp.int32), axis=1)
-    pad = jnp.full((C, m), SENTINEL, jnp.int32)
-    rap = jnp.concatenate([pad, rev, pad], axis=1)          # (C, n+2m)
+    pad = jnp.full((C, pad_l), SENTINEL, jnp.int32)
+    rap = jnp.concatenate([pad, rev], axis=1)               # (C, pad_l + n)
     rap = jnp.broadcast_to(rap[:, :, None], (C, rap.shape[1], TILE_R))
     a_len_arr = a_len.astype(jnp.int32).reshape(C, 1, 1)
 
@@ -177,7 +206,7 @@ def nw_pair_scores_pallas(a_keys, a_len, b_keys, b_len, interpret: bool = False)
 
     fwd = _build_pallas_forward(n, m, interpret)
     codes, dpcol = fwd(a_len_arr, rap, bs, blen)
-    D, K = n + m, m + 1
+    D, K = _n_diag_pad(n, m), m + 1
     codes = codes.transpose(0, 1, 4, 2, 3).reshape(C, R, D * K)
     dpcol = dpcol.transpose(0, 1, 3, 2).reshape(C, R, D + 1)
 
