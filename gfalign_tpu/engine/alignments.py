@@ -252,10 +252,17 @@ class AlignmentSet:
         with open(path, "rb") as probe:
             if probe.read(2) == b"\x1f\x8b":  # gzip -> python path
                 return False
-        parsed = native.parse_gaf(path, want_tokens=True)
+        from ..io import cache
+
+        parsed = cache.load_gaf_cache(path)
+        from_cache = parsed is not None
+        if parsed is None:
+            parsed = native.parse_gaf(path, want_tokens=True)
         if parsed is None:
             return False
         numeric, qnames, paths, tails, tokens = parsed
+        if not from_cache:
+            cache.store_gaf_cache(path, numeric, qnames, paths, tails, tokens)
         if shard:
             keep = [i for i in range(len(qnames))
                     if _shard_keep(shard, shard_by, i, qnames[i])]
