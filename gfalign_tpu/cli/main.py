@@ -262,6 +262,15 @@ def run(ui: UserInput) -> int:
     mode = ui.mode
     trace_ctx = maybe_trace()
     trace_ctx.__enter__()
+    try:
+        return _run_mode(ui, mode, graph, alignments, shard, out)
+    finally:
+        trace_ctx.__exit__(None, None, None)
+
+
+def _run_mode(ui, mode, graph, alignments, shard, out) -> int:
+    import sys
+
     if mode == 0:
         from ..engine.aligner import align_mode
         if ui.in_reads:
@@ -314,7 +323,6 @@ def run(ui: UserInput) -> int:
             return 1
         from ..engine.evalpath import eval_path
         eval_path(graph, alignments, ui.path, out)
-    trace_ctx.__exit__(None, None, None)
     return 0
 
 
