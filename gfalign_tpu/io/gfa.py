@@ -103,14 +103,32 @@ def parse_gfa_lines(lines: Iterable[str]) -> Graph:
             pending_o_lines.append(cols)
     # O lines may reference G lines appearing later, so resolve them last.
     gap_by_id = {g.gid: g for g in graph.gaps if g.gid}
+    edge_overlap = {}
+    from .. graph.model import flip
+
+    for e in graph.links:
+        edge_overlap.setdefault((e.s1, e.or1, e.s2, e.or2), e.overlap)
+        edge_overlap.setdefault((e.s2, flip(e.or2), e.s1, flip(e.or1)), e.overlap)
     for cols in pending_o_lines:
         path = GfaPath(cols[1])
         tokens = cols[2].split(" ") if len(cols) == 3 else cols[2:]
+        pending_gap = None
         for tok in tokens:
             if tok in gap_by_id:
-                path.seps.append(("gap", gap_by_id[tok].dist))
+                pending_gap = gap_by_id[tok].dist
             elif tok:
-                path.steps.append((graph.uid(tok[:-1]), tok[-1]))
+                step = (graph.uid(tok[:-1]), tok[-1])
+                if path.steps:
+                    if pending_gap is not None:
+                        path.seps.append(("gap", pending_gap))
+                    else:
+                        # adjacent segments: an edge junction; recover the
+                        # overlap from the matching E record when present
+                        prev = path.steps[-1]
+                        path.seps.append(("edge", edge_overlap.get(
+                            (prev[0], prev[1], step[0], step[1]), "*")))
+                path.steps.append(step)
+                pending_gap = None
         graph.paths.append(path)
     return graph
 

@@ -58,18 +58,39 @@ def write_gfa2(graph: Graph, write) -> None:
     for e in graph.links:
         write(f"E\t{graph.segment(e.s1).name}\t{e.or1}\t{graph.segment(e.s2).name}"
               f"\t{e.or2}\t{e.overlap}{_tags_str(e.tags)}\n")
+    gap_ids = {}
+    gap_lines = []
     for gi, g in enumerate(graph.gaps):
         gid = g.gid or f"gap{gi}"
-        write(f"G\t{gid}\t{graph.segment(g.s1).name}{g.or1}"
-              f"\t{graph.segment(g.s2).name}{g.or2}\t{g.dist}{_tags_str(g.tags)}\n")
-    for p in graph.paths:
+        gap_ids[(g.s1, g.or1, g.s2, g.or2, g.dist)] = gid
+        gap_lines.append(f"G\t{gid}\t{graph.segment(g.s1).name}{g.or1}"
+                         f"\t{graph.segment(g.s2).name}{g.or2}\t{g.dist}"
+                         f"{_tags_str(g.tags)}\n")
+    # a path's gap junction must reference a G record carrying ITS distance;
+    # reuse a matching record, else synthesize one
+    path_tokens = []
+    n_synth = 0
+    for pi, p in enumerate(graph.paths):
         tokens = []
-        gap_idx = 0
         for i, (sid, orientation) in enumerate(p.steps):
             if i > 0 and i - 1 < len(p.seps) and p.seps[i - 1][0] == "gap":
-                tokens.append(f"gap{gap_idx}")
-                gap_idx += 1
+                prev_sid, prev_or = p.steps[i - 1]
+                dist = int(p.seps[i - 1][1])
+                key = (prev_sid, prev_or, sid, orientation, dist)
+                gid = gap_ids.get(key)
+                if gid is None:
+                    gid = f"pgap{n_synth}"
+                    n_synth += 1
+                    gap_ids[key] = gid
+                    gap_lines.append(
+                        f"G\t{gid}\t{graph.segment(prev_sid).name}{prev_or}"
+                        f"\t{graph.segment(sid).name}{orientation}\t{dist}\n")
+                tokens.append(gid)
             tokens.append(graph.segment(sid).name + orientation)
+        path_tokens.append(tokens)
+    for line in gap_lines:
+        write(line)
+    for p, tokens in zip(graph.paths, path_tokens):
         write(f"O\t{p.name}\t{' '.join(tokens)}\n")
 
 
