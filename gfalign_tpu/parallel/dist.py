@@ -83,5 +83,8 @@ def allreduce_stats(totals: List[int], mesh=None) -> List[int]:
 
     mapped = shard_map(reduce_fn, mesh=mesh1d,
                        in_specs=P(axis, None), out_specs=P(axis, None))
-    out = np.asarray(mapped(garr))
-    return [int(v) for v in out[0]]
+    result = mapped(garr)
+    # after the psum every shard holds the global totals; only the local
+    # addressable shard can be fetched in a multi-process run
+    local = np.asarray(result.addressable_shards[0].data)
+    return [int(v) for v in local[0]]

@@ -47,3 +47,49 @@ def test_sharded_load_totals_merge():
             merged[i] += getattr(part, a)
     assert n_records == len(full.records)
     assert merged == [getattr(full, a) for a in attrs]
+
+
+@fixtures
+def test_real_two_process_allreduce(tmp_path):
+    """Spawn two actual jax.distributed processes (Gloo over localhost);
+    the qname-sharded loads psum-merge to the exact global totals."""
+    import socket
+    import subprocess
+    import sys as _sys
+    import pathlib
+    import os
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    worker = tmp_path / "worker.py"
+    worker.write_text(f"""
+import sys
+sys.path.insert(0, {str(repo)!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+from gfalign_tpu.engine.alignments import AlignmentSet
+a = AlignmentSet()
+a.load({str(REFERENCE / 'testFiles' / 'random2.gaf')!r},
+       shard=(pid, nproc), shard_by="qname")
+a.merge_distributed()
+if pid == 0:
+    print(a._count_override, a.tot_qlen, a.tot_algseq, a.tot_plen, a.tot_mapq)
+""")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    procs = [subprocess.Popen([_sys.executable, str(worker), str(i), "2", port],
+                              stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                              text=True, env=env)
+             for i in range(2)]
+    outs = [p.communicate(timeout=120)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs)
+    from gfalign_tpu.engine.alignments import AlignmentSet
+
+    full = AlignmentSet()
+    full.load(str(REFERENCE / "testFiles" / "random2.gaf"))
+    want = f"{full.count} {full.tot_qlen} {full.tot_algseq} {full.tot_plen} {full.tot_mapq}"
+    assert outs[0].strip().splitlines()[-1] == want
