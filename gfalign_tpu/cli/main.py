@@ -309,9 +309,17 @@ def _run_mode(ui, mode, graph, alignments, shard, out) -> int:
             print("search: missing input graph (-f)", file=sys.stderr)
             return 1
         from ..engine.search import search
+        evaluate_fn = None
+        if shard is not None and ui.in_align:
+            import io as _io
+
+            from ..engine.evaluate import distributed_evaluator
+            evaluate_fn = distributed_evaluator()
+            if shard[0] != 0:  # identical output everywhere; print once
+                out = _io.StringIO()
         search(graph, alignments if ui.in_align else None, ui.node_file,
                ui.source, ui.destination, ui.dijkstra_steps, ui.min_nodes,
-               ui.return_all_paths, out)
+               ui.return_all_paths, out, evaluate_fn=evaluate_fn)
     elif mode == 4:
         nodelist = _read_nodelist(ui.node_file)
         alignments.filter_by_nodelist(nodelist, ui.min_nodes)

@@ -183,3 +183,22 @@ def _alignment_string(a: List[Step], b: List[Step], id_to_name) -> str:
 def filter_mask(candidate: Sequence[Step],
                 read_paths: Sequence[Sequence[Step]]) -> Tuple[np.ndarray, int]:
     return _as_batch(read_paths).filter_against({s[0] for s in candidate})
+
+
+def distributed_evaluator(base=evaluate_candidates):
+    """Multi-host evaluate_fn: each process scores its LOCAL read shard,
+    then (bad, good, unaligned) tallies psum-merge across processes.  The
+    search loop is deterministic given the merged scores, so every process
+    evolves the same heap and produces identical output."""
+    from ..parallel.dist import allreduce_stats
+
+    def evaluate(candidates, read_paths, filter_alignments=True):
+        local = base(candidates, read_paths, filter_alignments)
+        flat = []
+        for s in local:
+            flat.extend((s.bad, s.good, s.unaligned))
+        merged = allreduce_stats(flat)
+        return [PathScore(merged[3 * i], merged[3 * i + 1], merged[3 * i + 2])
+                for i in range(len(local))]
+
+    return evaluate

@@ -149,7 +149,10 @@ def search(graph: Graph,
     # the same device batch.  Output order is untouched — later pops just
     # hit the cache instead of the device.
     score_cache: Dict[Tuple[Step, ...], "object"] = {}
-    speculate = 32 if read_paths else 0
+    # NOTE: must not depend on the LOCAL read shard (empty on some hosts in
+    # distributed runs) or processes would issue different collective
+    # sequences; with no reads the extra speculation is harmless
+    speculate = 32
 
     best_alt = 2 ** 31 - 1
     best_uniques = 0

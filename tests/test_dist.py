@@ -93,3 +93,52 @@ if pid == 0:
     full.load(str(REFERENCE / "testFiles" / "random2.gaf"))
     want = f"{full.count} {full.tot_qlen} {full.tot_algseq} {full.tot_plen} {full.tot_mapq}"
     assert outs[0].strip().splitlines()[-1] == want
+
+
+@fixtures
+def test_real_two_process_search(tmp_path):
+    """Two real jax.distributed processes run the scored tangle search with
+    qname-sharded reads; process 0's output must be byte-identical to a
+    single-host run (per-frontier tallies psum-merge; the heap evolves
+    identically everywhere)."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    (tmp_path / "testFiles").symlink_to(REFERENCE / "testFiles")
+    worker = tmp_path / "worker.py"
+    worker.write_text(f"""
+import sys, io, os
+sys.path.insert(0, {str(repo)!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+os.environ["GFALIGN_TPU_DISTRIBUTED"] = "1"
+os.chdir({str(tmp_path)!r})
+from gfalign_tpu.cli.main import main
+buf = io.StringIO(); old = sys.stdout; sys.stdout = buf
+main(["search", "-f", "testFiles/random3.gfa", "-g", "testFiles/random3.gaf",
+      "-n", "testFiles/random3.search_nodelist.tsv", "-s", "1", "-d", "4"])
+sys.stdout = old
+if pid == 0:
+    print(buf.getvalue(), end="")
+""")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    procs = [subprocess.Popen([_sys.executable, str(worker), str(i), "2", port],
+                              stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                              text=True, env={**os.environ})
+             for i in range(2)]
+    outs = [p.communicate(timeout=180)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs)
+    import pathlib as _pl
+    expected = (_pl.Path(__file__).parent / "data" / "search_scored.out").read_text()
+    got = "".join(l for l in outs[0].splitlines(keepends=True)
+                  if not l.startswith("[Gloo]"))
+    assert got == expected
