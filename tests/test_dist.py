@@ -77,15 +77,18 @@ a.merge_distributed()
 if pid == 0:
     print(a._count_override, a.tot_qlen, a.tot_algseq, a.tot_plen, a.tot_mapq)
 """)
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = str(s.getsockname()[1])
     env = {**os.environ, "JAX_PLATFORMS": "cpu"}
-    procs = [subprocess.Popen([_sys.executable, str(worker), str(i), "2", port],
-                              stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                              text=True, env=env)
-             for i in range(2)]
-    outs = [p.communicate(timeout=120)[0] for p in procs]
+    for attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        procs = [subprocess.Popen([_sys.executable, str(worker), str(i), "2", port],
+                                  stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                                  text=True, env=env)
+                 for i in range(2)]
+        outs = [p.communicate(timeout=120)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
     assert all(p.returncode == 0 for p in procs)
     from gfalign_tpu.engine.alignments import AlignmentSet
 
@@ -128,14 +131,17 @@ sys.stdout = old
 if pid == 0:
     print(buf.getvalue(), end="")
 """)
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = str(s.getsockname()[1])
-    procs = [subprocess.Popen([_sys.executable, str(worker), str(i), "2", port],
-                              stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                              text=True, env={**os.environ})
-             for i in range(2)]
-    outs = [p.communicate(timeout=180)[0] for p in procs]
+    for attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        procs = [subprocess.Popen([_sys.executable, str(worker), str(i), "2", port],
+                                  stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                                  text=True, env={**os.environ})
+                 for i in range(2)]
+        outs = [p.communicate(timeout=180)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
     assert all(p.returncode == 0 for p in procs)
     import pathlib as _pl
     expected = (_pl.Path(__file__).parent / "data" / "search_scored.out").read_text()
