@@ -52,6 +52,22 @@ class ReadBatch:
         keys = np.where(self.ids >= 0, self.ids * 4 + orients, -2)
         self.b_keys = keys.astype(np.int32)
         self.valid = self.ids >= 0
+        self._device = None  # lazy device-resident (b_keys, b_len)
+
+    def device_keys(self):
+        """Device-resident padded (b_keys, b_len), uploaded once: frontier
+        scoring calls then skip the per-call host->device transfer."""
+        if self._device is None:
+            import jax
+
+            b_keys, b_len = self.b_keys, self.lengths
+            if self.R % 128:
+                padn = 128 - self.R % 128
+                b_keys = np.concatenate(
+                    [b_keys, np.full((padn, self.m), -2, np.int32)])
+                b_len = np.concatenate([b_len, np.zeros((padn,), np.int32)])
+            self._device = (jax.device_put(b_keys), jax.device_put(b_len))
+        return self._device
 
     def filter_against(self, candidate_ids: set) -> Tuple[np.ndarray, int]:
         """(keep mask, unaligned count) — reference src/eval.cpp:81-91."""
@@ -82,12 +98,8 @@ def _device_scores(candidates: Sequence[Sequence[Step]], batch: ReadBatch) -> np
         [[Step(*s) for s in c] for c in candidates]
         + [[] for _ in range(C_pad - C)], n_max, pad_key=-1)
     use_pallas = _pallas_eligible()
-    b_keys, b_len = batch.b_keys, batch.lengths
     R = batch.R
-    if use_pallas and R % 128:
-        padn = 128 - R % 128
-        b_keys = np.concatenate([b_keys, np.full((padn, batch.m), -2, np.int32)])
-        b_len = np.concatenate([b_len, np.zeros((padn,), np.int32)])
+    b_keys, b_len = batch.device_keys()
     scorer = _jitted_best_scores(use_pallas)
     return np.asarray(scorer(a_keys, a_len, b_keys, b_len))[:C, :R]
 
@@ -127,6 +139,7 @@ def evaluate_candidates(candidates: Sequence[Sequence[Step]],
         sub.ids = np.full((Rp, batch.m), -1, np.int64)
         sub.ids[:len(idx)] = batch.ids[idx]
         sub.valid = sub.ids >= 0
+        sub._device = None
         scores_sub = _device_scores(candidates, sub)[:, :len(idx)]
         scores = np.zeros((len(candidates), batch.R), dtype=scores_sub.dtype)
         scores[:, idx] = scores_sub
