@@ -65,6 +65,14 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fq_seq_blob.restype = ctypes.c_void_p
     lib.fq_seq_blob.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
     lib.fq_close.argtypes = [ctypes.c_void_p]
+    lib.seq_local_traceback.restype = ctypes.c_int64
+    lib.seq_local_traceback.argtypes = [
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -153,6 +161,32 @@ def parse_gaf(path: str, want_tokens: bool = False):
         return numeric, qnames, paths, tails, tokens
     finally:
         lib.gaf_close(handle)
+
+
+def local_traceback(read_codes: np.ndarray, path_codes: np.ndarray,
+                    end_i: int, end_j: int, match: int, mismatch: int,
+                    gap: int, pad: int, block: int):
+    """(score, qstart, pstart, matches, nm, ops_str) or None.
+
+    Exact-semantics C++ port of ops/seqalign.traceback's matrix + walk
+    (see seq_local_traceback in native/gfalign_host.cpp)."""
+    lib = _load()
+    if lib is None:
+        return None
+    rd = np.ascontiguousarray(read_codes, dtype=np.int8)
+    pt = np.ascontiguousarray(path_codes, dtype=np.int8)
+    ops_cap = int(end_i) + int(end_j) + 2
+    ops = ctypes.create_string_buffer(ops_cap)
+    out5 = (ctypes.c_int32 * 5)()
+    n_ops = lib.seq_local_traceback(
+        rd.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), len(rd),
+        pt.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), len(pt),
+        int(end_i), int(end_j), match, mismatch, gap, pad, block,
+        out5, ops, ops_cap)
+    if n_ops < 0:
+        return None
+    return (int(out5[0]), int(out5[1]), int(out5[2]), int(out5[3]),
+            int(out5[4]), ops.raw[:n_ops].decode())
 
 
 def parse_fastx(path: str) -> Optional[List[Tuple[str, str]]]:

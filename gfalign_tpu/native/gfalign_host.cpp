@@ -291,4 +291,83 @@ const char* fq_seq_blob(FqData* h, int64_t* len) {
 
 void fq_close(FqData* h) { delete h; }
 
+// ------------------------------------------------- local-alignment traceback
+// Exact port of the Python oracle ops/seqalign.py traceback/_matrix (the
+// align-mode host traceback of a device-selected placement; reference
+// counterpart is the base-level DP GraphAligner performs for gfalign's
+// align mode, src/main.cpp:167-169).  Semantics reproduced bit-for-bit:
+//   * matrix substitution: PAD on either side -> `block` (never extend);
+//     otherwise match (+1) only when both codes < 4 and equal, else mismatch;
+//   * H[i][j] = max(c, H[i][j-1] + gap) with c = max(0, diag + sub, up + gap)
+//     (the floor applies before the horizontal chain, exactly like the
+//     cummax formulation);
+//   * the WALK's move test recomputes sub as match iff read==path && read<4
+//     (no PAD special case — the oracle's deliberate asymmetry);
+//   * move priority: diagonal, then up (I), then left (D), else stop
+//     (mid-row local start).
+// Only rows 0..end_i x cols 0..end_j are computed (the walk never leaves
+// that rectangle and the recurrence has no right-to-left dependency).
+// out5 = {score, qstart, pstart, matches, nm}; ops written forward-order
+// ('=', 'X', 'I', 'D'); returns n_ops, or -1 if ops_cap is too small.
+int64_t seq_local_traceback(const int8_t* read, int64_t lr, const int8_t* path,
+                            int64_t lp, int64_t end_i, int64_t end_j,
+                            int32_t match, int32_t mismatch, int32_t gap,
+                            int32_t pad_code, int32_t block, int32_t* out5,
+                            char* ops, int64_t ops_cap) {
+  if (end_i < 0 || end_j < 0 || end_i > lr || end_j > lp) return -1;
+  const int64_t W = end_j + 1;
+  std::vector<int32_t> H(static_cast<size_t>(end_i + 1) * W, 0);
+  for (int64_t i = 1; i <= end_i; i++) {
+    const int32_t rc = read[i - 1];
+    const int32_t* prev = H.data() + (i - 1) * W;
+    int32_t* cur = H.data() + i * W;
+    cur[0] = 0;
+    for (int64_t j = 1; j <= end_j; j++) {
+      const int32_t pc = path[j - 1];
+      const int32_t sub = (rc == pad_code || pc == pad_code)
+                              ? block
+                              : ((rc < 4 && pc < 4 && rc == pc) ? match
+                                                                : mismatch);
+      int32_t c = prev[j - 1] + sub;
+      const int32_t up = prev[j] + gap;
+      if (up > c) c = up;
+      if (c < 0) c = 0;
+      const int32_t left = cur[j - 1] + gap;
+      cur[j] = left > c ? left : c;
+    }
+  }
+  int64_t i = end_i, j = end_j;
+  out5[0] = H[i * W + j];  // score
+  int64_t n_ops = 0;
+  int32_t matches = 0, nm = 0;
+  // collect moves end->start, reverse at the end
+  while (i > 0 && j > 0 && H[i * W + j] > 0) {
+    const int32_t rc = read[i - 1];
+    const int32_t sub = (rc == path[j - 1] && rc < 4) ? match : mismatch;
+    const int32_t h = H[i * W + j];
+    char op;
+    if (h == H[(i - 1) * W + (j - 1)] + sub) {
+      op = sub == match ? '=' : 'X';
+      if (sub == match) matches++; else nm++;
+      i--; j--;
+    } else if (h == H[(i - 1) * W + j] + gap) {
+      op = 'I'; nm++; i--;
+    } else if (h == H[i * W + (j - 1)] + gap) {
+      op = 'D'; nm++; j--;
+    } else {
+      break;  // local start (c floored at 0 mid-row)
+    }
+    if (n_ops >= ops_cap) return -1;
+    ops[n_ops++] = op;
+  }
+  for (int64_t a = 0, b = n_ops - 1; a < b; a++, b--) {
+    char t = ops[a]; ops[a] = ops[b]; ops[b] = t;
+  }
+  out5[1] = static_cast<int32_t>(i);  // qstart
+  out5[2] = static_cast<int32_t>(j);  // pstart
+  out5[3] = matches;
+  out5[4] = nm;
+  return n_ops;
+}
+
 }  // extern "C"

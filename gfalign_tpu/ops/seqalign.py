@@ -180,9 +180,36 @@ def _matrix(read: np.ndarray, path: np.ndarray) -> np.ndarray:
     return H
 
 
+def _runs(ops) -> List[Tuple[int, str]]:
+    cigar: List[Tuple[int, str]] = []
+    for op in ops:
+        if cigar and cigar[-1][1] == op:
+            cigar[-1] = (cigar[-1][0] + 1, op)
+        else:
+            cigar.append((1, op))
+    return cigar
+
+
 def traceback(read: np.ndarray, path: np.ndarray,
               end_i: int, end_j: int) -> Placement:
-    """Recompute the pair DP and walk back from (end_i, end_j) to H==0."""
+    """Recompute the pair DP and walk back from (end_i, end_j) to H==0.
+
+    Dispatches to the native C++ port (seq_local_traceback) when the host
+    library is available — the full-matrix numpy row loop below is the
+    oracle and fallback (equality fuzzed in tests/test_native.py)."""
+    from ..io import native
+
+    res = native.local_traceback(read, path, end_i, end_j,
+                                 MATCH, MISMATCH, GAP, PAD, _BLOCK)
+    if res is not None:
+        score, qstart, pstart, matches, nm, ops = res
+        return Placement(score, qstart, end_i, pstart, end_j,
+                         _runs(ops), matches, nm)
+    return _traceback_py(read, path, end_i, end_j)
+
+
+def _traceback_py(read: np.ndarray, path: np.ndarray,
+                  end_i: int, end_j: int) -> Placement:
     H = _matrix(read, path)
     i, j = end_i, end_j
     score = int(H[i, j])
@@ -211,10 +238,4 @@ def traceback(read: np.ndarray, path: np.ndarray,
         else:  # local start (c floored at 0 mid-row)
             break
     ops.reverse()
-    cigar: List[Tuple[int, str]] = []
-    for op in ops:
-        if cigar and cigar[-1][1] == op:
-            cigar[-1] = (cigar[-1][0] + 1, op)
-        else:
-            cigar.append((1, op))
-    return Placement(score, i, end_i, j, end_j, cigar, matches, nm)
+    return Placement(score, i, end_i, j, end_j, _runs(ops), matches, nm)

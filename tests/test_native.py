@@ -64,3 +64,26 @@ def test_native_fasta(tmp_path):
 
 def test_native_missing_file():
     assert native.parse_gaf("/nonexistent/x.gaf") is None
+
+
+def test_native_traceback_matches_python():
+    """C++ seq_local_traceback is bit-equal to the Python oracle on random
+    pairs covering N codes, PAD blocks, indels, and partial end cells."""
+    from gfalign_tpu.ops import seqalign
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    for trial in range(120):
+        lr = int(rng.integers(1, 100))
+        lp = int(rng.integers(1, 140))
+        read = rng.integers(0, 6, size=lr).astype(np.int8)  # incl N(4), PAD(5)
+        path = rng.integers(0, 6, size=lp).astype(np.int8)
+        if trial % 3 == 0 and lr > 10:  # embed a real match: long walks
+            k = min(lr, lp) - 1
+            path[:k] = read[:k] % 4
+            read[:k] = read[:k] % 4
+        ei = int(rng.integers(0, lr + 1))
+        ej = int(rng.integers(0, lp + 1))
+        assert (seqalign.traceback(read, path, ei, ej)
+                == seqalign._traceback_py(read, path, ei, ej))
