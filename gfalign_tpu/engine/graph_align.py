@@ -38,7 +38,6 @@ from ..ops import seqalign
 from ..utils.log import lg
 
 MIN_SCORE = 20          # reject spurious local hits (hifi preset)
-MAPQ = 60
 
 
 def _fmt_g(value: float) -> str:
@@ -197,6 +196,20 @@ class GafHit:
     nm: int
     blocklen: int
     cigar: str
+    s2: int = 0      # best same-query-region competitor at a DIFFERENT location
+    mapq: int = 60
+
+
+def _mapq(s1: int, s2: int) -> int:
+    """Multi-mapping confidence, minimap2-style score-gap model capped at 60
+    (GraphAligner's cap): a unique placement keeps 60; a same-query-region
+    competitor at a different graph location scales it by the relative score
+    gap (equal-scoring alternative -> 0).  Competitors are collected where
+    the placement loop overlap-rejects them, deduped by trimmed location so
+    nested candidate paths containing the SAME placement don't count."""
+    if s1 <= 0:
+        return 0
+    return max(0, min(60, (60 * (s1 - s2)) // s1))
 
 
 def _trim_to_subpath(graph: Graph, path: OrientedPath,
@@ -233,6 +246,25 @@ def _trim_to_subpath(graph: Graph, path: OrientedPath,
 
 def _cigar_str(cigar: List[Tuple[int, str]]) -> str:
     return "".join(f"{n}{op}" for n, op in cigar)
+
+
+_SEG_RE = re.compile(r"[><]([^><]+)")
+
+
+def _note_competitor(graph: Graph, path: OrientedPath, pl,
+                     shadowed: List[GafHit]) -> None:
+    """An overlap-rejected placement is a multi-mapping competitor of the
+    accepted hits it shadows — unless it sits at the SAME assembly locus.
+    Candidate paths routinely nest and reverse (one placement shows up under
+    many keys, prefixes, and the opposite-orientation walk), so 'same locus'
+    is judged by trimmed-subpath SEGMENT overlap: a competitor touching any
+    segment of the accepted placement is the same place, not multi-mapping.
+    The surviving best distinct-locus score feeds the mapq gap model."""
+    path_str, _, _, _ = _trim_to_subpath(graph, path, pl.pstart, pl.pend)
+    segs = set(_SEG_RE.findall(path_str))
+    for h in shadowed:
+        if segs.isdisjoint(_SEG_RE.findall(h.path_str)):
+            h.s2 = max(h.s2, pl.score)
 
 
 SEED_THRESHOLD = 48   # above this many segments, switch to k-mer seeding
@@ -342,8 +374,10 @@ def _align_seeded(graph: Graph, reads, min_score: int):
                 pl = seqalign.traceback(rcodes, code_cache[key], bi, bj)
                 if pl.score < min_score:
                     continue
-                if any(not (pl.qend <= a or pl.qstart >= b)
-                       for a, b in accepted[r]):
+                shadowed = [h for (a, b), h in zip(accepted[r], all_hits[r])
+                            if not (pl.qend <= a or pl.qstart >= b)]
+                if shadowed:
+                    _note_competitor(graph, path, pl, shadowed)
                     continue
                 path_str, plen, ps, pe = _trim_to_subpath(
                     graph, path, pl.pstart, pl.pend)
@@ -360,6 +394,9 @@ def _align_seeded(graph: Graph, reads, min_score: int):
                     next_active.append(r)
         active = next_active
 
+    for hits in all_hits:
+        for h in hits:
+            h.mapq = _mapq(h.score, h.s2)
     return [(name, len(seq), sorted(all_hits[r], key=lambda h: -h.score))
             for r, (name, seq) in enumerate(reads)]
 
@@ -417,8 +454,10 @@ def _align_with_paths(graph: Graph, reads: Sequence[Tuple[str, str]],
                                         int(bi[ai, pi]), int(bj[ai, pi]))
                 if pl.score < min_score:
                     continue
-                if any(not (pl.qend <= a or pl.qstart >= b)
-                       for a, b in accepted[r]):
+                shadowed = [h for (a, b), h in zip(accepted[r], all_hits[r])
+                            if not (pl.qend <= a or pl.qstart >= b)]
+                if shadowed:
+                    _note_competitor(graph, paths[pi], pl, shadowed)
                     continue
                 path_str, plen, ps, pe = _trim_to_subpath(
                     graph, paths[pi], pl.pstart, pl.pend)
@@ -439,6 +478,8 @@ def _align_with_paths(graph: Graph, reads: Sequence[Tuple[str, str]],
     out = []
     for r, (name, seq) in enumerate(reads):
         hits = sorted(all_hits[r], key=lambda h: -h.score)
+        for h in hits:
+            h.mapq = _mapq(h.score, h.s2)
         out.append((name, len(seq), hits))
     return out
 
@@ -462,7 +503,7 @@ def emit_gaf(results, write) -> None:
             write("\t".join([
                 name, str(qlen), str(h.qstart), str(h.qend), "+",
                 h.path_str, str(h.plen), str(h.pstart), str(h.pend),
-                str(h.matches), str(h.blocklen), str(MAPQ),
+                str(h.matches), str(h.blocklen), str(h.mapq),
                 f"NM:i:{h.nm}", f"AS:f:{_fmt_g(as_score)}", f"dv:f:{_fmt_g(dv)}",
                 f"id:f:{_fmt_g(ident)}", f"cg:Z:{h.cigar}",
             ]) + "\n")
