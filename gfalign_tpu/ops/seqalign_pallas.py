@@ -42,18 +42,28 @@ def _kernel_factory(lr: int, lp: int):
 
     n_diag = lr + lp
     lr_pad = (-(-n_diag // 8)) * 8   # rows available for aligned 8-slices
-    KEY_SCALE = lr + 2
+    # pow2 so the final (v, i) unpack is shift/mask, not int division
+    key_bits = max(lr + 2, 2).bit_length()
+    KEY_SCALE = 1 << key_bits
 
     def kernel(rc_ref, ps_ref, out_ref):
         # rc_ref:  (1, lr_pad, TILE_R) read codes (PAD rows beyond lr),
         #          one read per lane
-        # ps_ref:  (1, lp + 1, TILE_R) shifted path codes (row k = path[k-1],
-        #          lane-broadcast: the path is shared, lanes carry reads)
+        # ps_ref:  (1, lp + 1, TILE_R) shifted path codes (row k = path[k-1];
+        #          lane-broadcast when the path is shared, or per-lane for
+        #          pairwise mode — the kernel is elementwise in lanes)
         # out_ref: (1, 1, 4, TILE_R) int32: best, bi, bj, (pad)
         #
         # The A-window W_d[k] = read[d-1-k] is CARRIED and rolled one
         # sublane per step (a per-step dynamic slice of the full window is
         # an unaligned (lp+1)-row relayout and dominates runtime).
+        #
+        # PERF INVARIANT: every loop carry is a 2-D (lp+1, TILE_R) vector and
+        # there are NO reductions inside the loop.  The first version of this
+        # kernel reduced the selection key over sublanes each step and
+        # carried 1-D (TILE_R,) bests — Mosaic handles 1-D carries ~1000x
+        # slower (734 ms vs 0.7 ms at 64x64); best (key, d) are tracked
+        # per-(sublane, lane) and reduced ONCE after the loop.
         kidx = jax.lax.broadcasted_iota(jnp.int32, (lp + 1, TILE_R), 0)
         ps = ps_ref[0]
 
@@ -96,27 +106,31 @@ def _kernel_factory(lr: int, lp: int):
             key = cur * KEY_SCALE - i_row
             key = jnp.where((kidx > 0) & (kidx <= jnp.minimum(d - 1, lp)),
                             key, SENT)
-            step_best = key.max(axis=0)                  # (TILE_R,)
-            improved = step_best > best_key
-            best_key = jnp.where(improved, step_best, best_key)
+            improved = key > best_key                    # strict: earliest d
             best_d = jnp.where(improved, d, best_d)
+            best_key = jnp.maximum(best_key, key)
             return h_prev, cur, w, best_key, best_d
 
-        zero_lane = d0[0, :]
-        init = (0 * d0, 0 * d0, w0, zero_lane + SENT, zero_lane)
+        init = (0 * d0, 0 * d0, w0, d0 + SENT, 0 * d0)
         n_blocks = -(-n_diag // 8)
         _, _, _, best_key, best_d = jax.lax.fori_loop(0, n_blocks, block_step, init)
+        # one cross-sublane reduction AFTER the loop: winner = max key
+        # (= max v, then min end row i); among equal keys the smallest
+        # diagonal d = i + k wins, i.e. the smallest end column j
+        top = jnp.max(best_key, axis=0, keepdims=True)             # (1, TILE_R)
+        d_win = jnp.min(jnp.where(best_key == top, best_d, 1 << 24),
+                        axis=0, keepdims=True)                      # (1, TILE_R)
         # unpack the winning (value, end row); end column = diagonal - row
-        best_v = jnp.where(best_key == SENT, 0,
-                           (best_key + KEY_SCALE - 1) // KEY_SCALE)
-        best_i = best_v * KEY_SCALE - best_key
-        best_j = best_d - best_i
+        best_v = jnp.where(top == SENT, 0,
+                           (top + KEY_SCALE - 1) >> key_bits)
+        best_i = best_v * KEY_SCALE - top
+        best_j = d_win - best_i
         # match the XLA row kernel: a best of 0 reports end cell (0, 0)
         ok = best_v > 0
-        out_ref[0, 0, 0, :] = jnp.where(ok, best_v, 0)
-        out_ref[0, 0, 1, :] = jnp.where(ok, best_i, 0)
-        out_ref[0, 0, 2, :] = jnp.where(ok, best_j, 0)
-        out_ref[0, 0, 3, :] = zero_lane
+        out_ref[0, 0, 0:1, :] = jnp.where(ok, best_v, 0)
+        out_ref[0, 0, 1:2, :] = jnp.where(ok, best_i, 0)
+        out_ref[0, 0, 2:3, :] = jnp.where(ok, best_j, 0)
+        out_ref[0, 0, 3:4, :] = 0 * best_v
 
     return kernel
 
@@ -131,6 +145,10 @@ def _build_forward(lr: int, lp: int, interpret: bool = False):
     kernel = _kernel_factory(lr, lp)
     lr_pad = (-(-(lr + lp) // 8)) * 8
 
+    # jit is LOAD-BEARING: an un-jitted pallas_call built inside the
+    # function re-traces and re-lowers on every invocation (~600 ms/call
+    # of host+tunnel work vs 0.1 ms for the kernel itself)
+    @functools.partial(jax.jit, static_argnames=())
     def forward(rc, ps):
         # rc: (T, lr_pad, TILE_R) read codes, one read per lane
         # ps: (P, lp + 1, TILE_R) path codes (lane-broadcast)
@@ -154,6 +172,13 @@ def _build_forward(lr: int, lp: int, interpret: bool = False):
     return forward
 
 
+def _pack_reads(read_codes: np.ndarray, lr: int, lp: int, T: int):
+    lr_pad = (-(-(lr + lp) // 8)) * 8
+    rc = np.full((T * TILE_R, lr_pad), PAD, dtype=np.int32)
+    rc[:len(read_codes), :lr] = read_codes.astype(np.int32)
+    return rc.reshape(T, TILE_R, lr_pad).transpose(0, 2, 1).copy()
+
+
 def local_forward_pallas(read_codes: np.ndarray, path_codes: np.ndarray,
                          interpret: bool = False):
     """Drop-in for ops.seqalign.local_forward: (best, bi, bj) each (R, P).
@@ -165,12 +190,7 @@ def local_forward_pallas(read_codes: np.ndarray, path_codes: np.ndarray,
     R, lr = read_codes.shape
     P, lp = path_codes.shape
     T = -(-R // TILE_R)
-    Rp = T * TILE_R
-
-    lr_pad = (-(-(lr + lp) // 8)) * 8
-    rc = np.full((Rp, lr_pad), PAD, dtype=np.int32)
-    rc[:R, :lr] = read_codes.astype(np.int32)
-    rc = rc.reshape(T, TILE_R, lr_pad).transpose(0, 2, 1).copy()
+    rc = _pack_reads(read_codes, lr, lp, T)
 
     ps = np.full((P, lp + 1), PAD, dtype=np.int32)
     ps[:, 1:] = path_codes.astype(np.int32)
@@ -178,5 +198,61 @@ def local_forward_pallas(read_codes: np.ndarray, path_codes: np.ndarray,
 
     fwd = _build_forward(lr, lp, interpret)
     out = np.asarray(fwd(jnp.asarray(rc), jnp.asarray(ps)))  # (T, P, 4, TILE_R)
-    out = out.transpose(0, 3, 1, 2).reshape(Rp, P, 4)[:R]
+    out = out.transpose(0, 3, 1, 2).reshape(T * TILE_R, P, 4)[:R]
     return out[:, :, 0], out[:, :, 1], out[:, :, 2]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_forward_pairs(lr: int, lp: int, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = _kernel_factory(lr, lp)
+    lr_pad = (-(-(lr + lp) // 8)) * 8
+
+    # jit is LOAD-BEARING, see _build_forward
+    @jax.jit
+    def forward(rc, ps):
+        # rc: (T, lr_pad, TILE_R) one read per lane
+        # ps: (T, lp + 1, TILE_R) one PATH per lane (the kernel is purely
+        #     elementwise in lanes, so per-lane paths give pairwise mode)
+        T = rc.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(T, 1),
+            in_specs=[
+                pl.BlockSpec((1, lr_pad, TILE_R), lambda t, p: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lp + 1, TILE_R), lambda t, p: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 4, TILE_R), lambda t, p: (t, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T, 1, 4, TILE_R), jnp.int32),
+            interpret=interpret,
+        )(rc, ps)
+
+    return forward
+
+
+def local_forward_pairs_pallas(read_codes: np.ndarray, path_codes: np.ndarray,
+                               interpret: bool = False):
+    """Drop-in for ops.seqalign.local_forward_pairs: row i of reads vs row i
+    of paths only; (best, bi, bj) each (N,)."""
+    import jax.numpy as jnp
+
+    N, lr = read_codes.shape
+    _, lp = path_codes.shape
+    T = -(-N // TILE_R)
+    rc = _pack_reads(read_codes, lr, lp, T)
+
+    ps = np.full((T * TILE_R, lp + 1), PAD, dtype=np.int32)
+    ps[:N, 1:] = path_codes.astype(np.int32)
+    ps = ps.reshape(T, TILE_R, lp + 1).transpose(0, 2, 1).copy()
+
+    fwd = _build_forward_pairs(lr, lp, interpret)
+    out = np.asarray(fwd(jnp.asarray(rc), jnp.asarray(ps)))  # (T, 1, 4, TILE_R)
+    out = out.transpose(0, 3, 1, 2).reshape(T * TILE_R, 4)[:N]
+    return out[:, 0], out[:, 1], out[:, 2]

@@ -80,3 +80,31 @@ def test_seqalign_pallas_interpret_matches_xla():
     np.testing.assert_array_equal(b1, b2)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_array_equal(j1, j2)
+
+
+def test_seqalign_pallas_pairwise_interpret_matches_xla():
+    """Pairwise Pallas mode (per-lane paths) is bit-exact with the XLA
+    pairwise row kernel — this is the seeded align mode's hot path."""
+    import numpy as np
+    from gfalign_tpu.ops.seqalign import PAD, _jitted_forward_pairs
+    from gfalign_tpu.ops.seqalign_pallas import local_forward_pairs_pallas
+
+    rng = np.random.default_rng(4)
+    N, Lr, Lp = 24, 40, 56
+    reads = np.full((N, Lr), PAD, dtype=np.int8)
+    paths = np.full((N, Lp), PAD, dtype=np.int8)
+    for i in range(N):
+        rl = rng.integers(8, Lr + 1)
+        pl = rng.integers(12, Lp + 1)
+        reads[i, :rl] = rng.integers(0, 5, rl)
+        paths[i, :pl] = rng.integers(0, 4, pl)
+        if i % 3 == 0:  # plant hits at varying offsets
+            k = min(rl, pl - 2)
+            paths[i, 2:2 + k] = reads[i, :k] % 4
+            reads[i, :k] = reads[i, :k] % 4
+    xla = _jitted_forward_pairs()
+    b1, i1, j1 = [np.asarray(x) for x in xla(reads, paths)]
+    b2, i2, j2 = local_forward_pairs_pallas(reads, paths, interpret=True)
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(j1, j2)
