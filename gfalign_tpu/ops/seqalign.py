@@ -145,8 +145,10 @@ def _use_pallas(read_codes: np.ndarray, path_codes: np.ndarray) -> bool:
     if read_codes.size == 0 or path_codes.size == 0:
         return False
     from .nw_path import _pallas_eligible
+    from .seqalign_pallas import shapes_fit
 
-    return _pallas_eligible()
+    return (_pallas_eligible()
+            and shapes_fit(read_codes.shape[1], path_codes.shape[1]))
 
 
 def batched_pair_scores(read_codes: np.ndarray, path_codes: np.ndarray):

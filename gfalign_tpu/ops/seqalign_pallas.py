@@ -33,6 +33,20 @@ from .seqalign import GAP, MATCH, MISMATCH, PAD, _BLOCK
 
 TILE_R = 128
 SENT = -(1 << 20)
+# the (lp+1, TILE_R) wavefront state (5 carries + path codes + read window)
+# outgrows Mosaic's default 16 MB scoped-vmem at align-mode path lengths;
+# raise the limit and gate truly extreme shapes back to the XLA kernel
+VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _vmem_estimate(lr: int, lp: int) -> int:
+    lr_pad = (-(-(lr + lp) // 8)) * 8
+    per_row = TILE_R * 4
+    return (lr_pad + 7 * (lp + 1)) * per_row   # rc + ps + 5 carries + slack
+
+
+def shapes_fit(lr: int, lp: int) -> bool:
+    return _vmem_estimate(lr, lp) <= int(VMEM_LIMIT * 0.9)
 
 
 def _kernel_factory(lr: int, lp: int):
@@ -166,6 +180,7 @@ def _build_forward(lr: int, lp: int, interpret: bool = False):
             out_specs=pl.BlockSpec((1, 1, 4, TILE_R), lambda t, p: (t, p, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((T, P, 4, TILE_R), jnp.int32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
             interpret=interpret,
         )(rc, ps)
 
@@ -231,6 +246,7 @@ def _build_forward_pairs(lr: int, lp: int, interpret: bool = False):
             out_specs=pl.BlockSpec((1, 1, 4, TILE_R), lambda t, p: (t, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((T, 1, 4, TILE_R), jnp.int32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
             interpret=interpret,
         )(rc, ps)
 

@@ -131,20 +131,22 @@ sys.stdout = old
 if pid == 0:
     print(buf.getvalue(), end="")
 """)
-    for attempt in range(3):
+    import pathlib as _pl
+    expected = (_pl.Path(__file__).parent / "data" / "search_scored.out").read_text()
+    errs = []
+    for attempt in range(5):
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
             port = str(s.getsockname()[1])
         procs = [subprocess.Popen([_sys.executable, str(worker), str(i), "2", port],
-                                  stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                                  stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                                   text=True, env={**os.environ})
                  for i in range(2)]
-        outs = [p.communicate(timeout=180)[0] for p in procs]
-        if all(p.returncode == 0 for p in procs):
-            break
-    assert all(p.returncode == 0 for p in procs)
-    import pathlib as _pl
-    expected = (_pl.Path(__file__).parent / "data" / "search_scored.out").read_text()
-    got = "".join(l for l in outs[0].splitlines(keepends=True)
-                  if not l.startswith("[Gloo]"))
-    assert got == expected
+        results = [p.communicate(timeout=180) for p in procs]
+        got = "".join(l for l in results[0][0].splitlines(keepends=True)
+                      if not l.startswith("[Gloo]"))
+        if all(p.returncode == 0 for p in procs) and got == expected:
+            return
+        errs.append((attempt, [p.returncode for p in procs], got,
+                     [r[1][-800:] for r in results]))
+    raise AssertionError(f"two-process search failed 5 attempts: {errs}")
