@@ -27,12 +27,11 @@ from typing import List, Tuple
 from ..utils.fmt import cout, label
 from .model import Graph, flip
 
-_RC = {"A": "T", "T": "A", "C": "G", "G": "C",
-       "a": "t", "t": "a", "c": "g", "g": "c", "N": "N", "n": "n"}
+_RC_TABLE = str.maketrans("ATCGatcg", "TAGCtagc")
 
 
 def revcomp(seq: str) -> str:
-    return "".join(_RC.get(c, c) for c in reversed(seq))
+    return seq.translate(_RC_TABLE)[::-1]
 
 
 def _n50_stats(lengths: List[int]) -> Tuple[int, float, int]:
