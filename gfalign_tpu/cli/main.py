@@ -283,9 +283,13 @@ def _run_mode(ui, mode, graph, alignments, shard, out) -> int:
     if mode == 1:
         if ui.in_align:
             alignments.sort_by_name()
-            alignments.mark_duplicates(out)
             if shard is not None:
-                alignments.merge_distributed()
+                # exact global duplicate marking (incl. the cross-host
+                # scratch-leak quirk), then psum of the load-time totals
+                alignments.mark_duplicates_distributed()
+                alignments.merge_distributed(dup_counts=False)
+            else:
+                alignments.mark_duplicates(out)
             if ui.align_stats_flag:
                 alignments.print_stats(out)
             elif ui.sort_alignment_flag:

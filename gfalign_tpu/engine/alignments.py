@@ -44,6 +44,43 @@ def _shard_keep(shard: Tuple[int, int], shard_by: str, idx: int, qname: str) -> 
     return idx % shard[1] == shard[0]
 
 
+def _dup_stats_walk(qnames: Sequence[str], cols: np.ndarray):
+    """The reference's markDuplicates + countSupplementary counters over
+    bare metadata (no records): qnames must be name-sorted; cols is
+    (N, 5) int64 [qStart, qEnd, pLen, pStart, pEnd].  Reproduces the
+    scratch-leak (SURVEY.md §4 quirk 8) and the unsigned terminal window.
+    Returns (primary, secondary, supplementary, terminal_supplementary).
+    Equality with AlignmentSet.mark_duplicates is fuzz-tested
+    (tests/test_dist.py)."""
+    primary = secondary = supplementary = terminal = 0
+    scratch: List[int] = []
+    prev: Optional[str] = None
+    n = len(qnames)
+    for i in range(n):
+        scratch.append(i)
+        name = qnames[i]
+        if name == prev:
+            secondary += 1
+            if i + 1 == n or qnames[i + 1] != name:
+                group = sorted(scratch, key=lambda j: cols[j, 0])
+                pos = 0
+                count = 0
+                for j in group:
+                    if pos != 0 and cols[j, 0] > pos:
+                        supplementary += 1
+                        count += 1
+                    pos = cols[j, 1]
+                if len(group) == 2 and count == 1:
+                    if (cols[group[0], 4] >= ((cols[group[0], 2] - 500) % _U32)
+                            and cols[group[1], 3] <= 500):
+                        terminal += 1
+                scratch = []
+        else:
+            primary += 1
+            prev = name
+    return primary, secondary, supplementary, terminal
+
+
 def _parse_tagtail(tail: str) -> List[Tuple[str, str, str]]:
     """Typed tags from the raw text after column 12.  Like the reference,
     only the third ':'-field survives as content (src/alignments.cpp:223-227)."""
@@ -128,6 +165,7 @@ class AlignmentSet:
         self._qnames: Optional[List[str]] = None
         self._paths: Optional[List[str]] = None
         self._tails: Optional[List[str]] = None
+        self._orig: Optional[np.ndarray] = None      # original file indices
         self.tokens = None  # io.native.GafTokens columnar path tokens
         # load-time totals (never recomputed after filtering — quirk)
         self.tot_qlen = 0
@@ -206,6 +244,8 @@ class AlignmentSet:
             self._qnames = [self._qnames[i] for i in order]
             self._paths = [self._paths[i] for i in order]
             self._tails = [self._tails[i] for i in order]
+        if self._orig is not None:
+            self._orig = self._orig[order] if len(order) else self._orig[:0]
         if self.tokens is not None:
             self.tokens = self.tokens.subset(np.asarray(order, dtype=np.int64))
 
@@ -271,6 +311,9 @@ class AlignmentSet:
             paths = [paths[i] for i in keep]
             tails = [tails[i] for i in keep]
             tokens = tokens.subset(np.asarray(keep, dtype=np.int64))
+            self._orig = np.asarray(keep, dtype=np.int64)
+        else:
+            self._orig = np.arange(len(qnames), dtype=np.int64)
         self.tokens = tokens
         self._numeric = numeric
         self._qnames = qnames
@@ -301,24 +344,75 @@ class AlignmentSet:
 
     # -- distributed -----------------------------------------------------
 
-    def merge_distributed(self) -> None:
+    def merge_distributed(self, dup_counts: bool = True) -> None:
         """Multi-host stat merge: replace the load-time totals (computed on
-        this host's shard) with their psum across all hosts, along with the
-        record and duplicate-marking counts.  Totals are exact; duplicate
-        marking is exact only under qname-grouped sharding and without the
-        reference's cross-group scratch-leak quirk (see parallel/dist.py)."""
+        this host's shard) with their psum across all hosts.  Totals are
+        exact for any sharding.  dup_counts=True additionally psums the
+        duplicate-marking counters of per-host mark_duplicates runs — exact
+        under qname sharding EXCEPT for the reference's cross-group
+        scratch-leak quirk; pass dup_counts=False after the exact
+        mark_duplicates_distributed (which already set global values)."""
         from ..parallel.dist import allreduce_stats
 
         merged = allreduce_stats([
             self.count, self.tot_qlen, self.tot_algseq, self.tot_plus,
             self.tot_minus, self.tot_plen, self.tot_mapq, self.tot_matches,
-            self.tot_blocklen, self.primary, self.secondary,
-            self.supplementary, self.terminal_supplementary,
-        ])
+            self.tot_blocklen])
         (self._count_override, self.tot_qlen, self.tot_algseq, self.tot_plus,
          self.tot_minus, self.tot_plen, self.tot_mapq, self.tot_matches,
-         self.tot_blocklen, self.primary, self.secondary, self.supplementary,
-         self.terminal_supplementary) = merged
+         self.tot_blocklen) = merged
+        if dup_counts:
+            (self.primary, self.secondary, self.supplementary,
+             self.terminal_supplementary) = allreduce_stats([
+                 self.primary, self.secondary, self.supplementary,
+                 self.terminal_supplementary])
+
+    def _orig_indices(self) -> np.ndarray:
+        if self._orig is not None:
+            return self._orig
+        if self._records is not None:
+            return np.array([r.pos for r in self._records], dtype=np.int64)
+        return np.arange(self.count, dtype=np.int64)
+
+    def mark_duplicates_distributed(self) -> None:
+        """EXACT multi-host duplicate/supplementary marking.  Per-host
+        marking misses the reference's cross-group scratch leak (SURVEY.md
+        §4 quirk 8): singletons ADJACENT IN THE GLOBAL NAME ORDER leak into
+        the next duplicate group's supplementary count, and those
+        singletons may live on other hosts.  Every host therefore gathers
+        each record's metadata — qname, original file index, and the five
+        numeric columns the walk reads — rebuilds the exact single-host
+        name-sorted order (stable by file index), and runs the reference
+        walk on the global sequence; all hosts set identical counters.
+        Metadata is O(total records) per host (same order as the load
+        itself).  Terminal-supplementary record PRINTING (-t) is not
+        available in this mode (records stay sharded)."""
+        from ..parallel.dist import allgather_bytes
+
+        cols_local = np.zeros((self.count, 6), dtype=np.int64)
+        if self._records is None and self._numeric is not None:
+            cols_local[:, 1:] = self._numeric[:, [1, 2, 4, 5, 6]]
+        else:
+            for k, col in enumerate((1, 2, 4, 5, 6)):  # qStart qEnd pLen pStart pEnd
+                cols_local[:, k + 1] = [self.numeric_at(i, col)
+                                        for i in range(self.count)]
+        cols_local[:, 0] = self._orig_indices()
+        qblob = "\n".join(self.qname_at(i) for i in range(self.count))
+        payload = qblob.encode() + b"\x00" + cols_local.tobytes()
+        qnames: List[str] = []
+        cols_parts = []
+        for part in allgather_bytes(payload):
+            qpart, _, cpart = part.partition(b"\x00")
+            if qpart:
+                qnames.extend(qpart.decode().split("\n"))
+            cols_parts.append(np.frombuffer(cpart, np.int64).reshape(-1, 6))
+        cols = np.concatenate(cols_parts) if cols_parts else np.zeros((0, 6), np.int64)
+        assert len(qnames) == len(cols)
+        order = sorted(range(len(qnames)),
+                       key=lambda i: (qnames[i], int(cols[i, 0])))
+        (self.primary, self.secondary, self.supplementary,
+         self.terminal_supplementary) = _dup_stats_walk(
+             [qnames[i] for i in order], cols[order][:, 1:])
 
     # -- stats -----------------------------------------------------------
 

@@ -88,3 +88,28 @@ def allreduce_stats(totals: List[int], mesh=None) -> List[int]:
     # addressable shard can be fetched in a multi-process run
     local = np.asarray(result.addressable_shards[0].data)
     return [int(v) for v in local[0]]
+
+
+def allgather_bytes(payload: bytes) -> List[bytes]:
+    """Gather one bytes blob from every process; returns blobs in process
+    order.  Single-process runs degrade to [payload].  Mechanism: an
+    allgather of sizes, then one padded uint8 allgather (Gloo/ICI via
+    jax.experimental.multihost_utils)."""
+    try:
+        import jax
+
+        n_proc = jax.process_count()
+    except Exception:
+        n_proc = 1
+    if n_proc == 1:
+        return [payload]
+    from jax.experimental import multihost_utils
+
+    sizes = np.asarray(multihost_utils.process_allgather(
+        np.array([len(payload)], np.int64))).reshape(-1)
+    width = max(int(sizes.max()), 1)
+    buf = np.zeros(width, np.uint8)
+    buf[:len(payload)] = np.frombuffer(payload, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    gathered = gathered.reshape(n_proc, width)
+    return [gathered[i, :sizes[i]].tobytes() for i in range(n_proc)]

@@ -150,3 +150,117 @@ if pid == 0:
         errs.append((attempt, [p.returncode for p in procs], got,
                      [r[1][-800:] for r in results]))
     raise AssertionError(f"two-process search failed 5 attempts: {errs}")
+
+
+def _random_gaf_lines(rng, n_names=40, dup_frac=0.5):
+    """GAF lines exercising duplicate runs, scratch leaks, and terminal
+    windows; qnames sort-interleave so leaks cross qname-hash shards."""
+    lines = []
+    for k in range(n_names):
+        name = f"q{k:03d}"
+        copies = 1 if rng.random() > dup_frac else rng.randrange(2, 5)
+        for _ in range(copies):
+            qlen = rng.randrange(50, 800)
+            qs = rng.randrange(0, qlen)
+            qe = rng.randrange(qs, qlen + 1)
+            plen = rng.randrange(100, 900)
+            ps = rng.randrange(0, 520)
+            pe = rng.randrange(ps, max(ps + 1, plen))
+            lines.append(f"{name}\t{qlen}\t{qs}\t{qe}\t+\t>n1\t{plen}\t{ps}"
+                         f"\t{pe}\t10\t12\t60")
+    rng.shuffle(lines)
+    return lines
+
+
+def test_dup_stats_walk_matches_mark_duplicates():
+    """The metadata walk (_dup_stats_walk) is the exact counter core of
+    mark_duplicates, fuzzed over random duplicate/leak/terminal patterns."""
+    import io as _io
+    import random
+
+    import numpy as np
+
+    from gfalign_tpu.engine.alignments import AlignmentSet, _dup_stats_walk
+
+    rng = random.Random(31)
+    for _ in range(20):
+        lines = _random_gaf_lines(rng)
+        a = AlignmentSet()
+        from gfalign_tpu.engine.alignments import GafRecord
+        a._records = []
+        for pos, line in enumerate(lines):
+            rec = GafRecord.from_line(line, pos)
+            a._records.append(rec)
+            a._accumulate(rec)
+        a.sort_by_name()
+        a.mark_duplicates()
+        qnames = [a.qname_at(i) for i in range(a.count)]
+        cols = np.array([[a.numeric_at(i, c) for c in (1, 2, 4, 5, 6)]
+                         for i in range(a.count)], dtype=np.int64)
+        walk = _dup_stats_walk(qnames, cols)
+        assert walk == (a.primary, a.secondary, a.supplementary,
+                        a.terminal_supplementary)
+
+
+def test_real_two_process_exact_dup_marking(tmp_path):
+    """Two real jax.distributed processes, qname-hash sharding: the exact
+    distributed duplicate marking must equal a single-host run INCLUDING
+    the cross-host scratch-leak quirk (singletons adjacent in global name
+    order leak into another host's duplicate group)."""
+    import os
+    import random
+    import socket
+    import subprocess
+    import sys as _sys
+    import pathlib
+
+    import numpy as np
+
+    from gfalign_tpu.engine.alignments import AlignmentSet
+
+    rng = random.Random(77)
+    gaf = tmp_path / "dup.gaf"
+    gaf.write_text("\n".join(_random_gaf_lines(rng, n_names=60)) + "\n")
+
+    truth = AlignmentSet()
+    truth.load(str(gaf))
+    truth.sort_by_name()
+    truth.mark_duplicates()
+    want = (f"{truth.primary} {truth.secondary} {truth.supplementary} "
+            f"{truth.terminal_supplementary}")
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    worker = tmp_path / "worker.py"
+    worker.write_text(f"""
+import sys
+sys.path.insert(0, {str(repo)!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+from gfalign_tpu.engine.alignments import AlignmentSet
+a = AlignmentSet()
+a.load({str(gaf)!r}, shard=(pid, nproc), shard_by="qname")
+a.sort_by_name()
+a.mark_duplicates_distributed()
+a.merge_distributed(dup_counts=False)
+print(a.primary, a.secondary, a.supplementary, a.terminal_supplementary)
+""")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "GFALIGN_TPU_CACHE": ""}
+    errs = []
+    for attempt in range(5):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        procs = [subprocess.Popen([_sys.executable, str(worker), str(i), "2", port],
+                                  stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                                  text=True, env=env)
+                 for i in range(2)]
+        results = [p.communicate(timeout=120) for p in procs]
+        got = [r[0].strip().splitlines()[-1] if r[0].strip() else "" for r in results]
+        if all(p.returncode == 0 for p in procs) and got[0] == got[1] == want:
+            return
+        errs.append(([p.returncode for p in procs], got, want,
+                     [r[1][-500:] for r in results]))
+    raise AssertionError(f"exact dup marking failed 5 attempts: {errs}")
