@@ -100,7 +100,8 @@ def search(graph: Graph,
            min_nodes: int = 0,
            return_all_paths: bool = False,
            out=None,
-           evaluate_fn=None) -> None:
+           evaluate_fn=None,
+           spec_depth: int = 2) -> None:
     out = out or sys.stdout
     evaluate_fn = evaluate_fn or evaluate_candidates
     adj = graph.adjacency
@@ -152,7 +153,8 @@ def search(graph: Graph,
     # NOTE: must not depend on the LOCAL read shard (empty on some hosts in
     # distributed runs) or processes would issue different collective
     # sequences; with no reads the extra speculation is harmless
-    speculate = 32
+    speculate = 32   # heap tops speculated per dispatch; spec_depth =
+    # generations of descent speculation per dispatch (see below)
 
     best_alt = 2 ** 31 - 1
     best_uniques = 0
@@ -172,6 +174,32 @@ def search(graph: Graph,
             if key not in score_cache and key not in seen_keys:
                 seen_keys.add(key)
                 to_score.append((key, new_steps))
+        if speculate and to_score:
+            # descent speculation: when dispatching anyway, also score the
+            # next `spec_depth` GENERATIONS below this pop in the same
+            # batch — in a best-first descent the just-pushed children (not
+            # yet on the heap, invisible to the heap-top speculation) are
+            # usually the next pops.  Gated on to_score: running this on
+            # cache-hit pops would issue a tiny dispatch per pop and defeat
+            # the batching entirely.
+            frontier = [(u.counts, e) for e in expansions]
+            for _depth in range(spec_depth):
+                nxt = []
+                for counts, (v, name, new_steps, _) in frontier:
+                    if v.nid == dest_uid:
+                        continue
+                    child_counts = dict(counts)
+                    child_counts[name] -= 1
+                    child = PartialPath(new_steps, child_counts)
+                    for g in admissible_expansions(child):
+                        key = tuple(g[2])
+                        if key not in score_cache and key not in seen_keys:
+                            seen_keys.add(key)
+                            to_score.append((key, g[2]))
+                        nxt.append((child_counts, g))
+                frontier = nxt
+                if len(to_score) > 4096:
+                    break
         if speculate and to_score:
             for _, _, spec in heapq.nsmallest(speculate, heap):
                 for _, _, new_steps, _ in admissible_expansions(spec):
