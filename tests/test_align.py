@@ -108,3 +108,34 @@ def test_seqalign_pallas_pairwise_interpret_matches_xla():
     np.testing.assert_array_equal(b1, b2)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_array_equal(j1, j2)
+
+
+def test_seqalign_forward_matches_matrix_oracle():
+    """The device forward's (best, end cell) equals an explicit numpy-DP
+    argmax with the documented tie-break (max value, min end row, min end
+    column) — ties XLA (and transitively Pallas) to the traceback oracle."""
+    import numpy as np
+    from gfalign_tpu.ops.seqalign import PAD, _jitted_forward, _matrix
+
+    rng = np.random.default_rng(8)
+    xla = _jitted_forward()
+    for trial in range(25):
+        Lr = int(rng.integers(1, 60))
+        Lp = int(rng.integers(1, 80))
+        read = rng.integers(0, 6, size=Lr).astype(np.int8)
+        path = rng.integers(0, 6, size=Lp).astype(np.int8)
+        if trial % 2:
+            k = min(Lr, Lp) - 1
+            path[:k] = read[:k] % 4
+            read[:k] = read[:k] % 4
+        b, bi, bj = [int(np.asarray(x)[0, 0])
+                     for x in xla(read[None, :], path[None, :])]
+        H = _matrix(read, path)
+        assert b == int(H.max())
+        if b > 0:
+            rows, cols = np.nonzero(H == b)
+            want_i = int(rows.min())
+            want_j = int(cols[rows == want_i].min())
+            assert (bi, bj) == (want_i, want_j), (trial, b, bi, bj)
+        else:
+            assert (bi, bj) == (0, 0)
