@@ -24,13 +24,18 @@ Layout per kernel instance (grid = (C, R/TILE_R)):
     step; incoming heads A[d-1] are fetched 8 at a time from an 8-aligned
     slice (Mosaic makes unaligned multi-row dynamic slices expensive and
     crashes on unaligned single-row ones), with static in-block row picks;
-  * outputs: move codes (diagonal-major, int8) and per-diagonal dp values
-    at each read's final column (dp[n][m] = dp value on diagonal
-    a_len + b_len).
+  * the traceback is ELIMINATED: the walk's only output is the exit column
+    j_exit, and "exit column of the walk starting at (i, j)" satisfies
+    E(0, j) = j, E(i, 0) = 0, E(i, j) = E(move-code successor) — all
+    successors live on earlier diagonals, so E propagates forward inside
+    the same loop (two extra carries).  This replaces the old int8
+    move-code matrices (65x the HBM bytes) and the serial per-record XLA
+    gather walk, which cost 6x the forward pass;
+  * outputs: per-diagonal dp values and E values at each read's final
+    column (dp[n][m] and j_exit live on diagonal a_len + b_len).
 
-The traceback walk stays in XLA (Mosaic has no per-lane sublane gather);
-it indexes codes by (d, k) = (ii + jj, jj).  Scores are bit-exact with the
-row formulation and the host oracle (tests/test_nw.py).
+Scores are bit-exact with the row formulation and the host oracle
+(tests/test_nw.py, tests/test_search_differential.py).
 """
 
 from __future__ import annotations
@@ -61,14 +66,22 @@ def _kernel_factory(n: int, m: int):
     pad_l = _pad_l(m)
     n_blocks = -(-n_diag // 8)
 
-    def kernel(alen_ref, rap_ref, bs_ref, blen_ref, codes_ref, dpcol_ref):
+    def kernel(alen_ref, rap_ref, bs_ref, blen_ref, dpcol_ref, ecol_ref):
         # alen_ref:  (1, 1, 1) int32 (SMEM) candidate length
         # rap_ref:   (1, pad_l + n, TILE_R): [SENTINEL]*pad_l + reverse(A)
         #            (lane-broadcast; A pads are -1, also never matching)
         # bs_ref:    (1, m + 1, TILE_R) shifted read keys (row k = B[k-1])
         # blen_ref:  (1, 1, TILE_R) read lengths
-        # codes_ref: (1, 1, 8*n_blocks, m + 1, TILE_R) int8 move codes
         # dpcol_ref: (1, 1, 8*n_blocks + 1, TILE_R) int32 dp at column b_len
+        # ecol_ref:  (1, 1, 8*n_blocks + 1, TILE_R) int32 exit column E at
+        #            column b_len
+        #
+        # E(i, j) is the column at which the traceback STARTED AT (i, j)
+        # leaves the interior: E(0, j) = j, E(i, 0) = 0, otherwise E of the
+        # move-code successor.  Successors live on earlier diagonals, so E
+        # propagates forward exactly like dp — which removes BOTH the move-
+        # code output (65x the HBM traffic of dp/e columns) and the serial
+        # XLA gather walk that used to dominate the scoring cost 6:1.
         a_len = alen_ref[0, 0, 0]
         b_len = blen_ref[0, 0, :]
         kidx = jax.lax.broadcasted_iota(jnp.int32, (m + 1, TILE_R), 0)
@@ -85,10 +98,13 @@ def _kernel_factory(n: int, m: int):
                        0, SENTINEL).astype(jnp.int32)
         dpcol_ref[0, 0, 0:1, :] = jnp.sum(jnp.where(col_at_blen, d0, 0),
                                           axis=0, keepdims=True)
+        e0 = 0 * d0                     # E(0,0) = 0
+        ecol_ref[0, 0, 0:1, :] = jnp.sum(jnp.where(col_at_blen, e0, 0),
+                                         axis=0, keepdims=True)
         w0 = jnp.full((m + 1, TILE_R), SENTINEL, jnp.int32) + 0 * d0
 
         def step(d, head, carry):
-            d_prev2, d_prev, w_prev = carry
+            d_prev2, d_prev, w_prev, e_prev2, e_prev = carry
             w = jnp.where(kidx == 0, head, jnp.roll(w_prev, 1, axis=0))
             s = jnp.where(w == bs, 0, -1).astype(jnp.int32)
             prev2_sh = jnp.where(kidx == 0, SENTINEL, jnp.roll(d_prev2, 1, axis=0))
@@ -101,13 +117,20 @@ def _kernel_factory(n: int, m: int):
             row0_val = jnp.where(d <= a_len, -d, 0)
             cur = jnp.where(kidx == 0, 0, cur)
             cur = jnp.where(kidx == d, row0_val, cur)
+            # the walk's move priority: diagonal, then up, then left
             diag_ok = cur == diag_in
             up_ok = d_prev >= prev_sh
-            code = jnp.where(diag_ok, 0, jnp.where(up_ok, 1, 2)).astype(jnp.int8)
-            codes_ref[0, 0, d - 1, :, :] = code
+            e_diag = jnp.roll(e_prev2, 1, axis=0)
+            e_left = jnp.roll(e_prev, 1, axis=0)
+            e_cur = jnp.where(diag_ok, e_diag,
+                              jnp.where(up_ok, e_prev, e_left))
+            e_cur = jnp.where(kidx == 0, 0, e_cur)   # col-0 exit: adds 0
+            e_cur = jnp.where(kidx == d, d, e_cur)   # row-0 exit at j = d
             dpcol_ref[0, 0, pl.ds(d, 1), :] = jnp.sum(
                 jnp.where(col_at_blen, cur, 0), axis=0, keepdims=True)
-            return d_prev, cur, w
+            ecol_ref[0, 0, pl.ds(d, 1), :] = jnp.sum(
+                jnp.where(col_at_blen, e_cur, 0), axis=0, keepdims=True)
+            return d_prev, cur, w, e_prev, e_cur
 
         def block_step(blk, carry):
             # heads for d = 8*blk+1 .. 8*blk+8 are rap2[pad_l+n-d]; the 8 of
@@ -119,7 +142,7 @@ def _kernel_factory(n: int, m: int):
                 carry = step(8 * blk + r + 1, head_block[7 - r:8 - r, :], carry)
             return carry
 
-        jax.lax.fori_loop(0, n_blocks, block_step, (d0, d0, w0))
+        jax.lax.fori_loop(0, n_blocks, block_step, (d0, d0, w0, e0, e0))
 
     return kernel
 
@@ -154,15 +177,15 @@ def _build_pallas_forward(n: int, m: int, interpret: bool = False):
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, n_diag_pad, m + 1, TILE_R),
-                             lambda c, t: (c, t, 0, 0, 0),
+                pl.BlockSpec((1, 1, n_diag_pad + 1, TILE_R),
+                             lambda c, t: (c, t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, n_diag_pad + 1, TILE_R),
                              lambda c, t: (c, t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((C, T, n_diag_pad, m + 1, TILE_R), jnp.int8),
+                jax.ShapeDtypeStruct((C, T, n_diag_pad + 1, TILE_R), jnp.int32),
                 jax.ShapeDtypeStruct((C, T, n_diag_pad + 1, TILE_R), jnp.int32),
             ],
             interpret=interpret,
@@ -205,34 +228,23 @@ def nw_pair_scores_pallas(a_keys, a_len, b_keys, b_len, interpret: bool = False)
     blen = b_len.astype(jnp.int32).reshape(T, 1, TILE_R)
 
     fwd = _build_pallas_forward(n, m, interpret)
-    codes, dpcol = fwd(a_len_arr, rap, bs, blen)
-    D, K = _n_diag_pad(n, m), m + 1
-    codes = codes.transpose(0, 1, 4, 2, 3).reshape(C, R, D * K)
+    dpcol, ecol = fwd(a_len_arr, rap, bs, blen)
+    D = _n_diag_pad(n, m)
     dpcol = dpcol.transpose(0, 1, 3, 2).reshape(C, R, D + 1)
+    ecol = ecol.transpose(0, 1, 3, 2).reshape(C, R, D + 1)
 
-    def walk(codes_c, dpcol_c, al):
-        def cond(state):
-            ii, jj = state
-            return ((ii > 0) & (jj > 0)).any()
+    # dp[n][m] and the traceback's exit column both live on diagonal
+    # a_len + b_len at column b_len; the kernel propagated the exit column
+    # forward, so the score is two gathers + the row-0 extent test — no walk
+    jj0 = b_len.astype(jnp.int32)
 
-        def body(state):
-            ii, jj = state
-            interior = (ii > 0) & (jj > 0)
-            idx = ((ii + jj - 1) * K + jj)[:, None]
-            c = jnp.take_along_axis(codes_c, jnp.maximum(idx, 0), axis=1)[:, 0]
-            ii = ii - jnp.where(interior & (c != 2), 1, 0)
-            jj = jj - jnp.where(interior & (c != 1), 1, 0)
-            return ii, jj
-
-        ii0 = jnp.broadcast_to(al, (R,)).astype(jnp.int32)
-        jj0 = b_len.astype(jnp.int32)
-        ii, jj = jax.lax.while_loop(cond, body, (ii0, jj0))
-        j_exit = jnp.where(ii == 0, jj, 0)
-        # dp[n][m] lives on diagonal a_len + b_len at column b_len
-        dp_nm = jnp.take_along_axis(dpcol_c, (al + jj0)[:, None], axis=1)[:, 0]
+    def score(dpcol_c, ecol_c, al):
+        idx = (al + jj0)[:, None]
+        dp_nm = jnp.take_along_axis(dpcol_c, idx, axis=1)[:, 0]
+        j_exit = jnp.take_along_axis(ecol_c, idx, axis=1)[:, 0]
         return dp_nm + jnp.where(j_exit <= al, j_exit, 0)
 
-    return jax.vmap(walk)(codes, dpcol, a_len.astype(jnp.int32))
+    return jax.vmap(score)(dpcol, ecol, a_len.astype(jnp.int32))
 
 
 def nw_best_scores_pallas(a_keys, a_len, b_keys, b_len, interpret: bool = False):
