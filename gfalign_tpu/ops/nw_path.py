@@ -172,12 +172,31 @@ def rc_keys_device(b_keys, b_len):
     return jnp.where((src >= 0) & (gathered >= 0), out, -2).astype(jnp.int32)
 
 
-def _forward_rows(a_keys, a_len, b_keys, b_len):
-    """dp rows for one candidate against a read batch.
+def _forward_exit_scores(a_keys, a_len, b_keys, b_len):
+    """Forward DP that also propagates the traceback EXIT COLUMN — the
+    whole score comes out of one scan, no walk.
 
-    a_keys: (n,), b_keys: (R, m); returns dp (n+1, R, m+1) int32.
-    Each row update is elementwise work + one cummax (the horizontal
-    max-plus decay scan in closed form)."""
+    Telescoping proof (why only the exit column is needed): every
+    traceback move is dp-consistent (the reference's move conditions each
+    imply dp[cur] == dp[prev] + dp-move-cost), and the interior traceback
+    costs equal the dp costs (at a vertical move in column jj,
+    sblen == m - jj, so 'sblen > 0' and 'jj < m' coincide).  Telescoping
+    along the walk: score = dp[n][m] - dp[0][j_exit], where j_exit is the
+    column at which the walk first leaves the interior (0 when it exits
+    via column 0) and dp[0][j] = -j for j <= n, 0 beyond (the row-0
+    extent quirk).
+
+    E(i, j) := exit column of the walk STARTING at (i, j):
+      E(0, j) = j;  E(i, 0) = 0;  otherwise E(successor by the walk's
+      move priority: diagonal, then up, then left).  Diagonal/up
+      successors live on the previous row; LEFT successors chain within
+      the current row to the nearest non-left cell (or column 0), which
+      one cummax (last non-left position) + one gather resolves.  So E
+      rides the same lax.scan as dp — this replaced a serial
+      O(n+m)-trip while_loop of per-read gathers (_walk_scores, see git
+      history) that cost several times the forward pass.
+
+    a_keys: (n,), b_keys: (R, m); returns (scores (R,) int32)."""
     import jax
     import jax.numpy as jnp
 
@@ -187,148 +206,40 @@ def _forward_rows(a_keys, a_len, b_keys, b_len):
     row0 = jnp.broadcast_to(row0, (R, m + 1)).astype(jnp.int32)
     # tie the scan carry's sharding variance to the read batch so the body's
     # output type matches under shard_map's varying-axes tracking
-    row0 = row0 + 0 * b_len[:, None].astype(jnp.int32)
-    gapv = jnp.where(jidx[None, 1:] < b_len[:, None], -1, 0).astype(jnp.int32)
-
-    def row_step(prev, a_key):
-        s = jnp.where(b_keys == a_key, 0, -1).astype(jnp.int32)
-        cand = jnp.maximum(prev[:, :-1] + s, prev[:, 1:] + gapv)
-        c = jnp.concatenate([jnp.zeros((R, 1), jnp.int32), cand], axis=1)
-        z = jax.lax.cummax(c + jidx[None, :], axis=1)
-        row = z - jidx[None, :]
-        return row, row
-
-    _, rows = jax.lax.scan(row_step, row0, a_keys)
-    return jnp.concatenate([row0[None], rows], axis=0)
-
-
-def _forward_move_codes(a_keys, a_len, b_keys, b_len):
-    """Forward DP emitting per-cell traceback MOVE CODES instead of dp.
-
-    The walk's decision at (i, j) depends only on the cell and its three
-    neighbors, all available while the row is produced:
-      0 = diagonal  (dp[i][j] == dp[i-1][j-1] + S)
-      1 = up        (else, dp[i-1][j] >= dp[i][j-1])
-      2 = left      (otherwise)
-    Codes are int8 — 4x less HBM traffic than materializing int32 dp — and
-    the walk then needs ONE gather per step.  Also returns dp values at each
-    read's final column (dp[i][b_len] for every i), from which
-    dp[n][m] is read per candidate.
-
-    Returns (codes (n, R, m) int8, dp_col (n+1, R) int32)."""
-    import jax
-    import jax.numpy as jnp
-
-    R, m = b_keys.shape
-    jidx = jnp.arange(m + 1, dtype=jnp.int32)
-    row0 = jnp.where(jidx <= a_len, -jidx, 0)
-    row0 = jnp.broadcast_to(row0, (R, m + 1)).astype(jnp.int32)
-    row0 = row0 + 0 * b_len[:, None].astype(jnp.int32)
+    var0 = (0 * b_len[:, None].astype(jnp.int32)
+            + 0 * jnp.asarray(a_len, jnp.int32))   # both axes' variance
+    row0 = row0 + var0
+    e0 = jnp.broadcast_to(jidx, (R, m + 1)).astype(jnp.int32) + var0
     gapv = jnp.where(jidx[None, 1:] < b_len[:, None], -1, 0).astype(jnp.int32)
     blen_idx = b_len.astype(jnp.int32)[:, None]
+    zero_col = jnp.zeros((R, 1), jnp.int32) + var0[:, :1]
 
-    def row_step(prev, a_key):
+    def row_step(carry, a_key):
+        prev, prev_e = carry
         s = jnp.where(b_keys == a_key, 0, -1).astype(jnp.int32)
         cand = jnp.maximum(prev[:, :-1] + s, prev[:, 1:] + gapv)
-        c = jnp.concatenate([jnp.zeros((R, 1), jnp.int32), cand], axis=1)
+        c = jnp.concatenate([zero_col, cand], axis=1)
         z = jax.lax.cummax(c + jidx[None, :], axis=1)
         row = z - jidx[None, :]
         diag = row[:, 1:] == prev[:, :-1] + s
         up = prev[:, 1:] >= row[:, :-1]
-        code = jnp.where(diag, 0, jnp.where(up, 1, 2)).astype(jnp.int8)
+        e_fresh = jnp.where(diag, prev_e[:, :-1], prev_e[:, 1:])
+        e_cand = jnp.concatenate([zero_col, e_fresh], axis=1)
+        nonleft = jnp.concatenate(
+            [jnp.ones((R, 1), bool), diag | up], axis=1)
+        last = jax.lax.cummax(jnp.where(nonleft, jidx[None, :], 0), axis=1)
+        row_e = jnp.take_along_axis(e_cand, last, axis=1)
         dp_b = jnp.take_along_axis(row, blen_idx, axis=1)[:, 0]
-        return row, (code, dp_b)
+        e_b = jnp.take_along_axis(row_e, blen_idx, axis=1)[:, 0]
+        return (row, row_e), (dp_b, e_b)
 
-    _, (codes, dp_bs) = jax.lax.scan(row_step, row0, a_keys)
+    _, (dp_bs, e_bs) = jax.lax.scan(row_step, (row0, e0), a_keys)
     dp_b0 = jnp.take_along_axis(row0, blen_idx, axis=1)[:, 0]
+    e_b0 = jnp.take_along_axis(e0, blen_idx, axis=1)[:, 0]
     dp_col = jnp.concatenate([dp_b0[None], dp_bs], axis=0)
-    return codes, dp_col
-
-
-def _traceback_scores(dp, a_keys, a_len, b_keys, b_len):
-    """Traceback scores WITHOUT score accumulation.
-
-    Every traceback move is dp-consistent (the reference's move conditions
-    each imply dp[cur] == dp[prev] + dp-move-cost), and the interior
-    traceback costs equal the dp costs (at a vertical move in column jj,
-    sblen == m - jj, so 'sblen > 0' and 'jj < m' coincide).  Telescoping
-    along the walk:  score = dp[n][m] - dp[0][j_exit], where j_exit is the
-    column at which the walk first leaves the interior (0 when it exits via
-    column 0), and dp[0][j] = -j for j <= n, 0 beyond (the row-0 extent
-    quirk).  So the device walk only tracks positions — no sblen/score —
-    and exits early once every lane reaches a border.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    n1, R, m1 = dp.shape
-    dp_r = jnp.transpose(dp, (1, 0, 2)).reshape(R, n1 * m1)
-
-    def gather(ii, jj):
-        return jnp.take_along_axis(dp_r, (ii * m1 + jj)[:, None], axis=1)[:, 0]
-
-    def b_at(jj):
-        return jnp.take_along_axis(b_keys, jnp.maximum(jj - 1, 0)[:, None], axis=1)[:, 0]
-
-    def cond(state):
-        ii, jj, _ = state
-        return ((ii > 0) & (jj > 0)).any()
-
-    def body(state):
-        ii, jj, cur = state
-        interior = (ii > 0) & (jj > 0)
-        a_step = a_keys[jnp.maximum(ii - 1, 0)]
-        s = jnp.where(a_step == b_at(jj), 0, -1).astype(jnp.int32)
-        d_diag = gather(ii - 1, jj - 1)
-        d_up = gather(ii - 1, jj)
-        d_left = gather(ii, jj - 1)
-        diag = interior & (cur == d_diag + s)
-        up = interior & ~diag & (d_up >= d_left)
-        left = interior & ~diag & ~up
-        cur = jnp.where(diag, d_diag, jnp.where(up, d_up, jnp.where(left, d_left, cur)))
-        ii = ii - jnp.where(diag | up, 1, 0)
-        jj = jj - jnp.where(diag | left, 1, 0)
-        return ii, jj, cur
-
-    # zeros carrying both batch axes' sharding variance (see _forward_rows)
-    zero = 0 * b_len.astype(jnp.int32) + 0 * jnp.asarray(a_len, jnp.int32)
-    ii0 = jnp.broadcast_to(a_len, (R,)).astype(jnp.int32) + zero
-    jj0 = b_len.astype(jnp.int32) + zero
-    dp_nm = gather(ii0, jj0)
-    ii, jj, _ = jax.lax.while_loop(cond, body, (ii0, jj0, dp_nm))
-    j_exit = jnp.where(ii == 0, jj, 0)
-    return dp_nm + jnp.where(j_exit <= a_len, j_exit, 0)
-
-
-def _walk_scores(codes, dp_col, a_len, b_len):
-    """Follow precomputed move codes from (a_len, b_len) to the first
-    border; score = dp[n][m] + j_exit correction (see _traceback_scores
-    docstring for the telescoping proof)."""
-    import jax
-    import jax.numpy as jnp
-
-    n, R, m = codes.shape
-    codes_r = jnp.transpose(codes, (1, 0, 2)).reshape(R, n * m)
-
-    def cond(state):
-        ii, jj = state
-        return ((ii > 0) & (jj > 0)).any()
-
-    def body(state):
-        ii, jj = state
-        interior = (ii > 0) & (jj > 0)
-        idx = (jnp.maximum(ii - 1, 0) * m + jnp.maximum(jj - 1, 0))[:, None]
-        c = jnp.take_along_axis(codes_r, idx, axis=1)[:, 0]
-        ii = ii - jnp.where(interior & (c != 2), 1, 0)
-        jj = jj - jnp.where(interior & (c != 1), 1, 0)
-        return ii, jj
-
-    zero = 0 * b_len.astype(jnp.int32) + 0 * jnp.asarray(a_len, jnp.int32)
-    ii0 = jnp.broadcast_to(a_len, (R,)).astype(jnp.int32) + zero
-    jj0 = b_len.astype(jnp.int32) + zero
-    ii, jj = jax.lax.while_loop(cond, body, (ii0, jj0))
-    j_exit = jnp.where(ii == 0, jj, 0)
+    e_col = jnp.concatenate([e_b0[None], e_bs], axis=0)
     dp_nm = dp_col[a_len]
+    j_exit = e_col[a_len]
     return dp_nm + jnp.where(j_exit <= a_len, j_exit, 0)
 
 
@@ -340,8 +251,7 @@ def nw_pair_scores(a_keys, a_len, b_keys, b_len):
     import jax
 
     def one(ak, al):
-        codes, dp_col = _forward_move_codes(ak, al, b_keys, b_len)
-        return _walk_scores(codes, dp_col, al, b_len)
+        return _forward_exit_scores(ak, al, b_keys, b_len)
 
     return jax.vmap(one)(a_keys, a_len)
 
