@@ -28,12 +28,26 @@ import numpy as np
 from ..ops.nw_path import nw_best_scores
 
 
-def _local_step(a_keys, a_len, b_keys, b_len):
+def _local_step(a_keys, a_len, b_keys, b_len, use_pallas=False):
     """Per-device tile: scores + masked reduction.  Shapes are the local
-    shards: a (Cl, n), b (Rl, m).  Returns (Cl, 3) int32 [bad, good, unaligned]."""
+    shards: a (Cl, n), b (Rl, m).  Returns (Cl, 3) int32 [bad, good, unaligned].
+
+    On real TPU the Pallas forward scores the tile (~50x the XLA row scan
+    on-device); its TILE_R requirement is met by padding the local read
+    shard here, inside shard_map, where shapes are static — padded rows
+    carry b_len == 0 and are masked out of every tally below."""
     import jax.numpy as jnp
 
-    scores = nw_best_scores(a_keys, a_len, b_keys, b_len)      # (Cl, Rl)
+    if use_pallas:
+        from ..ops.nw_pallas import TILE_R, nw_best_scores_pallas
+
+        rl = b_keys.shape[0]
+        rl_pad = -(-rl // TILE_R) * TILE_R
+        bk = jnp.pad(b_keys, ((0, rl_pad - rl), (0, 0)), constant_values=-3)
+        bl = jnp.pad(b_len, (0, rl_pad - rl))
+        scores = nw_best_scores_pallas(a_keys, a_len, bk, bl)[:, :rl]
+    else:
+        scores = nw_best_scores(a_keys, a_len, b_keys, b_len)  # (Cl, Rl)
 
     a_ids = jnp.where(a_keys >= 0, a_keys // 4, -1)            # (Cl, n)
     b_ids = jnp.where(b_keys >= 0, b_keys // 4, -2)            # (Rl, m)
@@ -50,20 +64,29 @@ def _local_step(a_keys, a_len, b_keys, b_len):
     return jnp.stack([bad, good, unaligned], axis=-1).astype(jnp.int32)
 
 
-def sharded_scoring_step(mesh, a_keys, a_len, b_keys, b_len):
+def sharded_scoring_step(mesh, a_keys, a_len, b_keys, b_len,
+                         use_pallas=None):
     """shard_map'd frontier scoring over a ("data", "cand") mesh."""
     import jax
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
+    if use_pallas is None:
+        from ..ops.nw_path import _pallas_eligible
+
+        use_pallas = _pallas_eligible()
+
     def step(ak, al, bk, bl):
-        local = _local_step(ak, al, bk, bl)
+        local = _local_step(ak, al, bk, bl, use_pallas=use_pallas)
         return jax.lax.psum(local, "data")
 
     mapped = shard_map(
         step, mesh=mesh,
         in_specs=(P("cand", None), P("cand"), P("data", None), P("data")),
         out_specs=P("cand", None),
+        # pallas_call out_shapes carry no vma annotation; the XLA path keeps
+        # the stricter varying-axes checking
+        check_vma=not use_pallas,
     )
     return mapped(a_keys, a_len, b_keys, b_len)
 
