@@ -124,8 +124,11 @@ def evaluate_candidates(candidates: Sequence[Sequence[Step]],
     if not union.any():
         return results
     # score only reads that at least one candidate keeps (bucketed subset:
-    # post-filter tangle workloads often drop most reads per expansion)
-    if union.sum() <= batch.R // 2:
+    # post-filter tangle workloads often drop most reads per expansion).
+    # On real TPU skip it: the subset ReadBatch re-uploads keys EVERY call,
+    # and through the dispatch transport that roundtrip costs far more than
+    # the wasted rows of scoring the resident full batch.
+    if union.sum() <= batch.R // 2 and not _pallas_eligible():
         idx = np.nonzero(union)[0]
         Rp = pad_pow2(len(idx))  # bucketed so subset sizes share compiles
         sub = ReadBatch.__new__(ReadBatch)
