@@ -66,28 +66,32 @@ def _kernel_factory(n: int, m: int):
     pad_l = _pad_l(m)
     n_blocks = -(-n_diag // 8)
 
-    def kernel(alen_ref, rap_ref, bs_ref, blen_ref, dpcol_ref, ecol_ref):
-        # alen_ref:  (1, 1, 1) int32 (SMEM) candidate length
-        # rap_ref:   (1, pad_l + n, TILE_R): [SENTINEL]*pad_l + reverse(A)
-        #            (lane-broadcast; A pads are -1, also never matching)
-        # bs_ref:    (1, m + 1, TILE_R) shifted read keys (row k = B[k-1])
-        # blen_ref:  (1, 1, TILE_R) read lengths
-        # dpcol_ref: (1, 1, 8*n_blocks + 1, TILE_R) int32 dp at column b_len
-        # ecol_ref:  (1, 1, 8*n_blocks + 1, TILE_R) int32 exit column E at
-        #            column b_len
+    def kernel(alen_ref, rap_ref, bs_ref, blen_ref, out_ref):
+        # alen_ref: (1, 1, 1) int32 (SMEM) candidate length
+        # rap_ref:  (1, pad_l + n, TILE_R): [SENTINEL]*pad_l + reverse(A)
+        #           (lane-broadcast; A pads are -1, also never matching)
+        # bs_ref:   (1, m + 1, TILE_R) shifted read keys (row k = B[k-1])
+        # blen_ref: (1, 1, TILE_R) read lengths
+        # out_ref:  (1, 1, 1, TILE_R) int32 FINAL traceback scores
         #
         # E(i, j) is the column at which the traceback STARTED AT (i, j)
         # leaves the interior: E(0, j) = j, E(i, 0) = 0, otherwise E of the
         # move-code successor.  Successors live on earlier diagonals, so E
         # propagates forward exactly like dp — which removes BOTH the move-
-        # code output (65x the HBM traffic of dp/e columns) and the serial
-        # XLA gather walk that used to dominate the scoring cost 6:1.
+        # code output (65x the HBM traffic) and the serial XLA gather walk
+        # that used to dominate the scoring cost 6:1.  The score's two
+        # ingredients, dp[n][m] and j_exit = E(n, m), both live at column
+        # k = b_len on diagonal d = a_len + b_len — each lane sees its hit
+        # diagonal exactly once, so two running where-selects capture them
+        # and the kernel emits the finished score (no per-diagonal output
+        # columns, no XLA gathers afterwards).
         a_len = alen_ref[0, 0, 0]
         b_len = blen_ref[0, 0, :]
         kidx = jax.lax.broadcasted_iota(jnp.int32, (m + 1, TILE_R), 0)
         bs = bs_ref[0]
         vgap = jnp.where(kidx < b_len[None, :], -1, 0).astype(jnp.int32)
-        col_at_blen = kidx == b_len[None, :]
+        hit_col = kidx == b_len[None, :]
+        hit_d = a_len + b_len[None, :]          # (1, TILE_R) target diagonal
 
         # diagonal 0: cell (0,0) = 0 (plus border placeholders).  The b_len
         # comparison makes d0 lane-varying: otherwise Mosaic infers a
@@ -96,15 +100,14 @@ def _kernel_factory(n: int, m: int):
         # constant-fold the lane dependence away).
         d0 = jnp.where((kidx == 0) & (b_len[None, :] >= 0),
                        0, SENTINEL).astype(jnp.int32)
-        dpcol_ref[0, 0, 0:1, :] = jnp.sum(jnp.where(col_at_blen, d0, 0),
-                                          axis=0, keepdims=True)
         e0 = 0 * d0                     # E(0,0) = 0
-        ecol_ref[0, 0, 0:1, :] = jnp.sum(jnp.where(col_at_blen, e0, 0),
-                                         axis=0, keepdims=True)
         w0 = jnp.full((m + 1, TILE_R), SENTINEL, jnp.int32) + 0 * d0
+        # diagonal-0 hit (a_len == b_len == 0): dp = 0, E = 0 — the zero
+        # init of the accumulators already encodes it
+        acc0 = 0 * d0
 
         def step(d, head, carry):
-            d_prev2, d_prev, w_prev, e_prev2, e_prev = carry
+            d_prev2, d_prev, w_prev, e_prev2, e_prev, dp_fin, e_fin = carry
             w = jnp.where(kidx == 0, head, jnp.roll(w_prev, 1, axis=0))
             s = jnp.where(w == bs, 0, -1).astype(jnp.int32)
             prev2_sh = jnp.where(kidx == 0, SENTINEL, jnp.roll(d_prev2, 1, axis=0))
@@ -126,11 +129,10 @@ def _kernel_factory(n: int, m: int):
                               jnp.where(up_ok, e_prev, e_left))
             e_cur = jnp.where(kidx == 0, 0, e_cur)   # col-0 exit: adds 0
             e_cur = jnp.where(kidx == d, d, e_cur)   # row-0 exit at j = d
-            dpcol_ref[0, 0, pl.ds(d, 1), :] = jnp.sum(
-                jnp.where(col_at_blen, cur, 0), axis=0, keepdims=True)
-            ecol_ref[0, 0, pl.ds(d, 1), :] = jnp.sum(
-                jnp.where(col_at_blen, e_cur, 0), axis=0, keepdims=True)
-            return d_prev, cur, w, e_prev, e_cur
+            hit = hit_col & (hit_d == d)
+            dp_fin = jnp.where(hit, cur, dp_fin)
+            e_fin = jnp.where(hit, e_cur, e_fin)
+            return d_prev, cur, w, e_prev, e_cur, dp_fin, e_fin
 
         def block_step(blk, carry):
             # heads for d = 8*blk+1 .. 8*blk+8 are rap2[pad_l+n-d]; the 8 of
@@ -142,7 +144,14 @@ def _kernel_factory(n: int, m: int):
                 carry = step(8 * blk + r + 1, head_block[7 - r:8 - r, :], carry)
             return carry
 
-        jax.lax.fori_loop(0, n_blocks, block_step, (d0, d0, w0, e0, e0))
+        init = (d0, d0, w0, e0, e0, acc0, acc0)
+        *_, dp_fin, e_fin = jax.lax.fori_loop(0, n_blocks, block_step, init)
+        # each lane's hit row is unique (k = b_len on its hit diagonal);
+        # everything else stayed 0, so a sublane sum extracts it.  Fold in
+        # the row-0 extent correction: + j_exit when j_exit <= a_len.
+        score = dp_fin + jnp.where(e_fin <= a_len, e_fin, 0)
+        score = jnp.where(hit_col, score, 0)
+        out_ref[0, 0, 0:1, :] = jnp.sum(score, axis=0, keepdims=True)
 
     return kernel
 
@@ -176,18 +185,10 @@ def _build_pallas_forward(n: int, m: int, interpret: bool = False):
                 pl.BlockSpec((1, 1, TILE_R), lambda c, t: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((1, 1, n_diag_pad + 1, TILE_R),
-                             lambda c, t: (c, t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, n_diag_pad + 1, TILE_R),
-                             lambda c, t: (c, t, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((C, T, n_diag_pad + 1, TILE_R), jnp.int32),
-                jax.ShapeDtypeStruct((C, T, n_diag_pad + 1, TILE_R), jnp.int32),
-            ],
+            out_specs=pl.BlockSpec((1, 1, 1, TILE_R),
+                                   lambda c, t: (c, t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((C, T, 1, TILE_R), jnp.int32),
             interpret=interpret,
         )(a_len_arr, rap, bs, blen)
 
@@ -228,23 +229,8 @@ def nw_pair_scores_pallas(a_keys, a_len, b_keys, b_len, interpret: bool = False)
     blen = b_len.astype(jnp.int32).reshape(T, 1, TILE_R)
 
     fwd = _build_pallas_forward(n, m, interpret)
-    dpcol, ecol = fwd(a_len_arr, rap, bs, blen)
-    D = _n_diag_pad(n, m)
-    dpcol = dpcol.transpose(0, 1, 3, 2).reshape(C, R, D + 1)
-    ecol = ecol.transpose(0, 1, 3, 2).reshape(C, R, D + 1)
-
-    # dp[n][m] and the traceback's exit column both live on diagonal
-    # a_len + b_len at column b_len; the kernel propagated the exit column
-    # forward, so the score is two gathers + the row-0 extent test — no walk
-    jj0 = b_len.astype(jnp.int32)
-
-    def score(dpcol_c, ecol_c, al):
-        idx = (al + jj0)[:, None]
-        dp_nm = jnp.take_along_axis(dpcol_c, idx, axis=1)[:, 0]
-        j_exit = jnp.take_along_axis(ecol_c, idx, axis=1)[:, 0]
-        return dp_nm + jnp.where(j_exit <= al, j_exit, 0)
-
-    return jax.vmap(score)(dpcol, ecol, a_len.astype(jnp.int32))
+    out = fwd(a_len_arr, rap, bs, blen)          # (C, T, 1, TILE_R) scores
+    return out.transpose(0, 1, 3, 2).reshape(C, R)
 
 
 def nw_best_scores_pallas(a_keys, a_len, b_keys, b_len, interpret: bool = False):
