@@ -1,0 +1,122 @@
+"""One-command validation of every REAL-TPU production path.
+
+The pytest suite pins all kernels bit-exact in interpret mode on CPU
+(tests/conftest.py forces the cpu backend); this script drives the same
+paths on the actual device — Mosaic-compiled kernels, the shard_map step,
+and the CLI end-to-end — and is what a round's TPU sign-off runs:
+
+    PYTHONPATH=/root/repo python tools/tpu_smoke.py
+
+Exits non-zero on any mismatch.  Each check prints PASS with a short tag.
+"""
+
+import pathlib
+import subprocess
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+REFERENCE = pathlib.Path("/root/reference")
+
+import numpy as np  # noqa: E402
+
+
+def check(tag, ok):
+    print(("PASS " if ok else "FAIL ") + tag)
+    if not ok:
+        sys.exit(1)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}")
+    rng = np.random.default_rng(11)
+
+    # 1. NW Pallas (score-emitting) == XLA row kernel, varying lengths
+    from gfalign_tpu.ops.nw_pallas import nw_best_scores_pallas
+    from gfalign_tpu.ops.nw_path import nw_best_scores
+
+    C, R, N, M = 8, 256, 64, 64
+    a = (rng.integers(0, 8, (C, N)) * 4 + rng.integers(0, 2, (C, N))).astype(np.int32)
+    al = rng.integers(1, N + 1, (C,)).astype(np.int32)
+    b = (rng.integers(0, 8, (R, M)) * 4 + rng.integers(0, 2, (R, M))).astype(np.int32)
+    bl = rng.integers(0, M + 1, (R,)).astype(np.int32)
+    for i in range(C):
+        a[i, al[i]:] = -2
+    for i in range(R):
+        b[i, bl[i]:] = -3
+    args = [jnp.asarray(x) for x in (a, al, b, bl)]
+    got = np.asarray(jax.jit(nw_best_scores_pallas)(*args))
+    want = np.asarray(jax.jit(nw_best_scores)(*args))
+    check("nw pallas == xla (device)", np.array_equal(got, want))
+
+    # 2. seqalign Pallas (cross + pairwise) == XLA row kernel
+    from gfalign_tpu.ops.seqalign import (_jitted_forward,
+                                          _jitted_forward_pairs)
+    from gfalign_tpu.ops.seqalign_pallas import (local_forward_pallas,
+                                                 local_forward_pairs_pallas)
+
+    reads = rng.integers(0, 6, size=(40, 120)).astype(np.int8)
+    paths = rng.integers(0, 6, size=(5, 200)).astype(np.int8)
+    paths[0, 10:110] = reads[0, :100] % 4
+    reads[0, :100] = reads[0, :100] % 4
+    got = local_forward_pallas(reads, paths)
+    want = [np.asarray(x) for x in _jitted_forward()(reads, paths)]
+    check("seqalign pallas cross == xla (device)",
+          all(np.array_equal(g, w) for g, w in zip(got, want)))
+    ppaths = rng.integers(0, 6, size=(40, 200)).astype(np.int8)
+    got = local_forward_pairs_pallas(reads, ppaths)
+    want = [np.asarray(x) for x in _jitted_forward_pairs()(reads, ppaths)]
+    check("seqalign pallas pairwise == xla (device)",
+          all(np.array_equal(g, w) for g, w in zip(got, want)))
+
+    # 3. shard_map frontier step, Pallas vs XLA on a real-chip mesh
+    from jax.sharding import Mesh
+
+    from gfalign_tpu.parallel.score_step import sharded_scoring_step
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "cand"))
+    with mesh:
+        got = np.asarray(sharded_scoring_step(mesh, a, al, b, bl,
+                                              use_pallas=True))
+        want = np.asarray(sharded_scoring_step(mesh, a, al, b, bl,
+                                               use_pallas=False))
+    check("shard_map pallas tallies == xla (device mesh)",
+          np.array_equal(got, want))
+
+    # 4. CLI end-to-end on the device: align byte-equality + scored search
+    if (REFERENCE / "testFiles").is_dir():
+        import io
+
+        from gfalign_tpu.cli.main import main as cli
+
+        tf = str(REFERENCE / "testFiles")
+        for name in ("random1", "random2"):
+            buf = io.StringIO()
+            old = sys.stdout
+            sys.stdout = buf
+            cli(["align", "-f", f"{tf}/{name}.gfa", "-r",
+                 f"{tf}/{name}.reads.fq"])
+            sys.stdout = old
+            want_text = (REFERENCE / "testFiles" / f"{name}.gaf").read_text()
+            check(f"align {name}.gaf byte-equal (device)",
+                  buf.getvalue() == want_text)
+        buf = io.StringIO()
+        old = sys.stdout
+        sys.stdout = buf
+        cli(["search", "-f", f"{tf}/random3.gfa", "-g", f"{tf}/random3.gaf",
+             "-n", f"{tf}/random3.search_nodelist.tsv", "-s", "1", "-d", "4"])
+        sys.stdout = old
+        lock = (ROOT / "tests" / "data" / "search_scored.out").read_text()
+        check("scored search byte-equal to lock (device)",
+              buf.getvalue() == lock)
+    else:
+        print("SKIP CLI checks (reference fixtures not mounted)")
+    print("ALL TPU SMOKE CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()
