@@ -320,10 +320,11 @@ def _align_seeded(graph: Graph, reads, min_score: int):
     path_cache: Dict[tuple, OrientedPath] = {}
     code_cache: Dict[tuple, np.ndarray] = {}
     cand_lists: List[List[tuple]] = []
-    for _, seq in reads:
+    cand_deltas: Dict[Tuple[int, tuple], int] = {}  # (read, key) -> diagonal
+    for r, (_, seq) in enumerate(reads):
         cands: List[tuple] = []
         seen = set()
-        for anchor in index.anchors(encode_seq(seq)):
+        for anchor, seg_diag in index.anchors_with_diag(encode_seq(seq)):
             for steps in paths_around_anchor(graph, anchor, len(seq)):
                 key = tuple(steps)
                 if key in seen:
@@ -333,6 +334,12 @@ def _align_seeded(graph: Graph, reads, min_score: int):
                     op = build_oriented(graph, steps, lut)
                     path_cache[key] = op
                     code_cache[key] = encode_seq(op.seq)
+                # expected alignment diagonal: anchor segment's offset in
+                # this path + the anchor's in-segment diagonal vote — the
+                # banded scorer centers its band here
+                anchor_idx = key.index(anchor)
+                cand_deltas[(r, key)] = (
+                    path_cache[key].offsets[anchor_idx] + seg_diag)
                 cands.append(key)
         cand_lists.append(cands)
 
@@ -341,8 +348,8 @@ def _align_seeded(graph: Graph, reads, min_score: int):
     accepted: List[List[Tuple[int, int]]] = [[] for _ in reads]
     active = [r for r in range(len(reads)) if cand_lists[r]]
 
-    def score_pairs(pairs):
-        """Bucketed pairwise device scoring -> {pair_index: (v, bi, bj)}."""
+    def score_pairs_full(pairs, results=None):
+        """Bucketed full-DP pairwise scoring -> {pair_index: (v, bi, bj)}."""
         try:
             import jax
 
@@ -362,7 +369,7 @@ def _align_seeded(graph: Graph, reads, min_score: int):
                 lr_b = pad_pow2(len(work[r]), floor=16)
                 lp_b = pad_pow2(len(code_cache[key]), floor=16)
             buckets[(lr_b, lp_b)].append(n)
-        results: Dict[int, Tuple[int, int, int]] = {}
+        results = {} if results is None else results
         for (lr_b, lp_b), idxs in buckets.items():
             n_pad = pad_pow2(len(idxs), floor=8)
             rc = np.full((n_pad, lr_b), seqalign.PAD, np.int8)
@@ -374,6 +381,43 @@ def _align_seeded(graph: Graph, reads, min_score: int):
             best, bi, bj = seqalign.batched_pair_scores(rc, pc)
             for slot, n in enumerate(idxs):
                 results[n] = (int(best[slot]), int(bi[slot]), int(bj[slot]))
+        return results
+
+    BAND = 128
+
+    def score_pairs(pairs):
+        """Banded-first scoring: anchors supply the expected diagonal, so
+        each pair costs O(Lr x BAND) instead of O(Lr x Lp); pairs whose
+        banded best touches the band edge or misses min_score are rescored
+        with the full DP (wrong-diagonal / out-of-band safety net)."""
+        if not pairs:
+            return {}
+        deltas = [cand_deltas.get(p) for p in pairs]
+        if any(d is None for d in deltas):
+            return score_pairs_full(pairs)
+        lr_b = pad_pow2(max(len(work[r]) for r, _ in pairs), floor=16)
+        lp_b = pad_pow2(max(len(code_cache[k]) for _, k in pairs), floor=16)
+        n_pad = pad_pow2(len(pairs), floor=8)
+        rc = np.full((n_pad, lr_b), seqalign.PAD, np.int8)
+        pc = np.full((n_pad, lp_b), seqalign.PAD, np.int8)
+        dl = np.zeros((n_pad,), np.int64)
+        for n, (r, key) in enumerate(pairs):
+            rc[n, :len(work[r])] = work[r]
+            pc[n, :len(code_cache[key])] = code_cache[key]
+            dl[n] = deltas[n]
+        best, bi, bj, edge = seqalign.banded_pair_scores(rc, pc, dl,
+                                                         width=BAND)
+        results: Dict[int, Tuple[int, int, int]] = {}
+        redo = []
+        for n in range(len(pairs)):
+            if edge[n] or best[n] < min_score:
+                redo.append(n)
+            else:
+                results[n] = (int(best[n]), int(bi[n]), int(bj[n]))
+        if redo:
+            sub = score_pairs_full([pairs[n] for n in redo])
+            for slot, n in enumerate(redo):
+                results[n] = sub[slot]
         return results
 
     for _round in range(4):

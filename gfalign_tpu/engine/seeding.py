@@ -69,14 +69,31 @@ class KmerIndex:
     def anchors(self, read_codes: np.ndarray,
                 max_anchors: int = MAX_ANCHORS_PER_READ) -> List[Tuple[int, str]]:
         """(segment, orientation) anchors for a read, by vote count."""
+        return [key for key, _ in self.anchors_with_diag(read_codes,
+                                                         max_anchors)]
+
+    def anchors_with_diag(self, read_codes: np.ndarray,
+                          max_anchors: int = MAX_ANCHORS_PER_READ
+                          ) -> List[Tuple[Tuple[int, str], int]]:
+        """[(anchor, diag)] by vote count; diag is the most-voted
+        (segment offset - read position) — the expected alignment diagonal
+        within the oriented segment, which the banded scorer centers on."""
         votes: Dict[Tuple[int, str], int] = defaultdict(int)
-        for km in _kmer_codes(read_codes, self.k):
+        diag_votes: Dict[Tuple[int, str], Dict[int, int]] = defaultdict(
+            lambda: defaultdict(int))
+        for pos, km in enumerate(_kmer_codes(read_codes, self.k)):
             if km < 0:
                 continue
-            for sid, orientation, _ in self.index.get(int(km), ()):
+            for sid, orientation, off in self.index.get(int(km), ()):
                 votes[(sid, orientation)] += 1
+                diag_votes[(sid, orientation)][off - pos] += 1
         ranked = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))
-        return [key for key, _ in ranked[:max_anchors]]
+        out = []
+        for key, _ in ranked[:max_anchors]:
+            dv = diag_votes[key]
+            diag = max(dv.items(), key=lambda kv: (kv[1], -abs(kv[0])))[0]
+            out.append((key, diag))
+        return out
 
 
 def paths_around_anchor(graph: Graph, anchor: Tuple[int, str],

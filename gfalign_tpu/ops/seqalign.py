@@ -178,6 +178,112 @@ def batched_local_scores(read_codes: np.ndarray, path_codes: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# Banded pairwise scoring (seeded align fast path)
+# ---------------------------------------------------------------------------
+
+
+def banded_pair_scores(read_codes: np.ndarray, path_codes: np.ndarray,
+                       deltas: np.ndarray, width: int = 128):
+    """Pairwise local alignment restricted to a band around a known
+    diagonal — the GraphAligner-style banded DP the seeded aligner uses
+    when anchors supply the expected diagonal (read pos i aligns near path
+    pos i + delta).  ~Lp/width fewer cells than local_forward_pairs;
+    results are identical whenever the optimal alignment stays in-band
+    (tests/test_align_banded.py), and out-of-band pairs are detected by
+    the caller via band-edge hits / sub-threshold scores and rescored
+    with the full DP.
+
+    Band coordinates: H_band[i][u] = H[i][j], j = i + delta - width//2 + u.
+    The diagonal predecessor keeps its lane, 'up' shifts by +1, and the
+    horizontal chain is the usual max-plus prefix over the band — so the
+    window slides one path position per row, which a pre-extracted strip
+    (strip[n, t] = path[n, t + delta - width//2], PAD outside) turns into
+    a pair-uniform dynamic slice: no gathers anywhere.
+
+    read_codes: (N, Lr) int8, path_codes: (N, Lp) int8, deltas: (N,) int.
+    Returns (best, bi, bj, edge) — as local_forward_pairs plus a bool
+    band-edge-touch flag per pair."""
+    import jax
+
+    N, Lr = read_codes.shape
+    _, Lp = path_codes.shape
+    W2 = width // 2
+    # host strip extraction (vectorized): t in [0, Lr + width)
+    t = np.arange(Lr + width)
+    src = t[None, :] + np.asarray(deltas, np.int64)[:, None] - W2
+    ok = (src >= 0) & (src < Lp)
+    strip = np.where(ok, np.take_along_axis(
+        np.ascontiguousarray(path_codes, dtype=np.int8),
+        np.clip(src, 0, Lp - 1).astype(np.int64), axis=1), PAD).astype(np.int8)
+    fn = _jitted_banded(width)
+    best, bi, bj, edge = fn(read_codes, strip,
+                            np.asarray(deltas, np.int32), Lp)
+    return (np.asarray(best), np.asarray(bi), np.asarray(bj),
+            np.asarray(edge))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_banded(width: int):
+    import jax
+
+    return jax.jit(functools.partial(_banded_forward, width=width),
+                   static_argnames=("lp",))
+
+
+def _banded_forward(read_codes, strip, deltas, lp, *, width: int):
+    import jax
+    import jax.numpy as jnp
+
+    N, Lr = read_codes.shape
+    W2 = width // 2
+    uidx = jnp.arange(width, dtype=jnp.int32)
+    gj = GAP * jnp.arange(width + 1, dtype=jnp.int32)
+
+    def row_step(carry, r_chars):
+        H, best, bi, bj, bu, i1 = carry          # i1 = current row (1-based)
+        # window for row i1 = strip[:, i1-1 : i1-1+width] (pair-uniform slice)
+        win = jax.lax.dynamic_slice_in_dim(strip, i1 - 1, width, 1)
+        win = win.astype(jnp.int32)
+        # j(u) for this row: i1 + delta - W2 + u
+        j_of_u = i1 + deltas[:, None] - W2 + uidx[None, :]
+        in_path = (j_of_u >= 1) & (j_of_u <= lp)
+        r = r_chars[:, None]
+        is_pad = (r == PAD) | (win == PAD)
+        match = (~is_pad) & (r < 4) & (win < 4) & (r == win)
+        s = jnp.where(is_pad, _BLOCK,
+                      jnp.where(match, MATCH, MISMATCH)).astype(jnp.int32)
+        up = jnp.concatenate([H[:, 1:], jnp.full((N, 1), _BLOCK, jnp.int32)],
+                             axis=1)
+        c = jnp.maximum(0, jnp.maximum(H + s, up + GAP))
+        c = jnp.where(in_path, c, 0)
+        # horizontal chain along the band (max-plus prefix)
+        c0 = jnp.concatenate([jnp.zeros((N, 1), jnp.int32), c], axis=1)
+        z = jax.lax.cummax(c0 - gj[None, :], axis=1)
+        Hn = (z + gj[None, :])[:, 1:]
+        Hn = jnp.where(in_path, Hn, 0)
+        row_best = Hn.max(axis=1)
+        row_u = Hn.argmax(axis=1).astype(jnp.int32)
+        improved = row_best > best
+        best = jnp.where(improved, row_best, best)
+        bi = jnp.where(improved, i1, bi)
+        bj = jnp.where(improved,
+                       jnp.take_along_axis(j_of_u, row_u[:, None],
+                                           axis=1)[:, 0], bj)
+        bu = jnp.where(improved, row_u, bu)
+        return (Hn, best, bi, bj, bu, i1 + 1), None
+
+    H0 = jnp.zeros((N, width), jnp.int32)
+    zero = jnp.zeros((N,), jnp.int32)
+    reads_t = jnp.transpose(read_codes.astype(jnp.int32))
+    (H, best, bi, bj, bu, _), _ = jax.lax.scan(
+        row_step, (H0, zero, zero, zero, zero, jnp.int32(1)), reads_t)
+    ok = best > 0
+    edge = ok & ((bu <= 0) | (bu >= width - 1))
+    return (jnp.where(ok, best, 0), jnp.where(ok, bi, 0),
+            jnp.where(ok, bj, 0), edge)
+
+
+# ---------------------------------------------------------------------------
 # Host traceback for a selected (read, path) pair
 # ---------------------------------------------------------------------------
 
