@@ -203,21 +203,9 @@ def banded_pair_scores(read_codes: np.ndarray, path_codes: np.ndarray,
     read_codes: (N, Lr) int8, path_codes: (N, Lp) int8, deltas: (N,) int.
     Returns (best, bi, bj, edge) — as local_forward_pairs plus a bool
     band-edge-touch flag per pair."""
-    import jax
-
-    N, Lr = read_codes.shape
-    _, Lp = path_codes.shape
-    W2 = width // 2
-    # host strip extraction (vectorized): t in [0, Lr + width)
-    t = np.arange(Lr + width)
-    src = t[None, :] + np.asarray(deltas, np.int64)[:, None] - W2
-    ok = (src >= 0) & (src < Lp)
-    strip = np.where(ok, np.take_along_axis(
-        np.ascontiguousarray(path_codes, dtype=np.int8),
-        np.clip(src, 0, Lp - 1).astype(np.int64), axis=1), PAD).astype(np.int8)
     fn = _jitted_banded(width)
-    best, bi, bj, edge = fn(read_codes, strip,
-                            np.asarray(deltas, np.int32), Lp)
+    best, bi, bj, edge = fn(read_codes, path_codes,
+                            np.asarray(deltas, np.int32))
     return (np.asarray(best), np.asarray(bi), np.asarray(bj),
             np.asarray(edge))
 
@@ -226,18 +214,25 @@ def banded_pair_scores(read_codes: np.ndarray, path_codes: np.ndarray,
 def _jitted_banded(width: int):
     import jax
 
-    return jax.jit(functools.partial(_banded_forward, width=width),
-                   static_argnames=("lp",))
+    return jax.jit(functools.partial(_banded_forward, width=width))
 
 
-def _banded_forward(read_codes, strip, deltas, lp, *, width: int):
+def _banded_forward(read_codes, path_codes, deltas, *, width: int):
     import jax
     import jax.numpy as jnp
 
     N, Lr = read_codes.shape
+    lp = path_codes.shape[1]
     W2 = width // 2
     uidx = jnp.arange(width, dtype=jnp.int32)
     gj = GAP * jnp.arange(width + 1, dtype=jnp.int32)
+    # strip extraction ON DEVICE (the host numpy version cost ~2 s per
+    # 2048-pair round on this box): strip[n, t] = path[n, t + delta - W2]
+    t = jnp.arange(Lr + width, dtype=jnp.int32)
+    src = t[None, :] + deltas[:, None] - W2
+    ok = (src >= 0) & (src < lp)
+    strip = jnp.where(ok, jnp.take_along_axis(
+        path_codes, jnp.clip(src, 0, lp - 1), axis=1), PAD)
 
     def row_step(carry, r_chars):
         H, best, bi, bj, bu, i1 = carry          # i1 = current row (1-based)
