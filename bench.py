@@ -12,6 +12,14 @@ class the reference runs on.  vs_baseline = device rate / CPU rate.
 
 Prints one JSON line:
   {"metric": ..., "value": N, "unit": "records/s", "vs_baseline": N}
+
+MEASUREMENT CORRECTION (do not regress): over the TPU tunnel on this box,
+`block_until_ready` returns BEFORE execution completes and the transport
+caches repeated identical dispatches.  Any timing must therefore use
+distinct device-resident batches (one dispatch each), force completion via
+a device->host fetch of the last output, and report the best of several
+passes (the tunnel has multi-second congestion windows).  See the
+methodology comment in device_records_per_s().
 """
 
 from __future__ import annotations

@@ -52,6 +52,7 @@ class UserInput:
         self.min_nodes = 0
         self.dijkstra_steps = 100000
         self.threads = 0
+        self.cmd_echo: List[str] = []  # argv as typed, incl. argv[0]
 
 
 _MODE_OPTS = {
@@ -164,8 +165,14 @@ def parse_args(argv: List[str]) -> UserInput:
     ui = UserInput()
     ui.mode = mode
     short, longs = _MODE_OPTS[mode]
+    args = argv[1:]
+    if mode == 0 and args and args[-1] in ("-p", "--preset"):
+        # reference align-mode quirk: `-p` missing its argument falls back to
+        # the CLR parameter set instead of erroring (src/main.cpp:155-160)
+        args = args[:-1]
+        ui.preset = "CLR"
     try:
-        opts, extra = getopt.gnu_getopt(argv[1:], short.replace("h", "h"), longs)
+        opts, extra = getopt.gnu_getopt(args, short.replace("h", "h"), longs)
     except getopt.GetoptError as exc:
         print(str(exc), file=sys.stderr)
         raise SystemExit(1)
@@ -244,7 +251,12 @@ def run(ui: UserInput) -> int:
         if shard == (0, 1):
             shard = None
     if ui.cmd_flag:
-        print("".join(t + " " for t in ["gfalign"] + sys.argv[1:]))
+        # reference echoes every argv token as typed, incl. argv[0]
+        # (src/main.cpp:651-656: printf("%s ", argv[i]) loop)
+        print("".join(t + " " for t in ui.cmd_echo))
+    if ui.threads:
+        from ..io import native
+        native.set_threads(ui.threads)
 
     graph = None
     if ui.in_sequence:
@@ -294,11 +306,20 @@ def _run_mode(ui, mode, graph, alignments, shard, out) -> int:
                 alignments.print_stats(out)
             elif ui.sort_alignment_flag:
                 alignments.output(ui.out_file, out)
-        if ui.in_align and ui.out_file and graph is not None:
+        if ui.in_align and ui.out_file:
             from ..engine.evalgfa import eval_gfa
-            from ..io.writers import write_graph
+            from ..io.writers import write_decorated_gfa, write_graph
+            if graph is None:
+                # reference decorates even without -f: evalGFA runs on the
+                # empty InSequences and writes an empty graph
+                # (src/input-gfalign.cpp:93-97)
+                from ..graph.model import Graph
+                graph = Graph()
             eval_gfa(graph, alignments)
-            write_graph(graph, ui.out_file)
+            if ui.in_sequence:
+                write_decorated_gfa(graph, ui.in_sequence, ui.out_file)
+            else:
+                write_graph(graph, ui.out_file)
     elif mode == 2:
         if graph is None:
             print("subgraph: missing input graph (-f)", file=sys.stderr)
@@ -346,7 +367,9 @@ def _read_nodelist(node_file: str) -> List[str]:
 def main(argv: Optional[List[str]] = None) -> int:
     from ..utils.fmt import cout
     cout.reset()  # fresh process state when called in-process (tests)
-    ui = parse_args(list(sys.argv[1:] if argv is None else argv))
+    args = list(sys.argv[1:] if argv is None else argv)
+    ui = parse_args(args)
+    ui.cmd_echo = [sys.argv[0] if argv is None else "gfalign"] + args
     return run(ui)
 
 

@@ -21,21 +21,56 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _rebuild(force: bool) -> bool:
+    try:
+        cmd = ["make", "-C", str(_DIR)] + (["-B"] if force else [])
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists():
-        try:
-            subprocess.run(["make", "-C", str(_DIR)], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    if not _LIB_PATH.exists() and not _rebuild(force=False):
+        return None
+    lib = _try_bind()
+    if lib is None:
+        # A stale .so from an older commit can lack newer symbols; one
+        # forced rebuild, then give up to the pure-Python fallbacks.
+        if not _rebuild(force=True):
             return None
+        lib = _try_bind()
+    _lib = lib
+    return _lib
+
+
+def _try_bind() -> Optional[ctypes.CDLL]:
+    """dlopen + bind every symbol; None if the library is absent or stale."""
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
         return None
+    try:
+        _bind(lib)
+    except AttributeError:
+        # stale library missing a symbol; drop the handle so a rebuilt file
+        # is re-mapped instead of the loader returning the cached mapping
+        try:
+            import _ctypes
+            _ctypes.dlclose(lib._handle)
+        except Exception:
+            pass
+        return None
+    return lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    lib.gfalign_set_threads.restype = None
+    lib.gfalign_set_threads.argtypes = [ctypes.c_int]
     lib.gaf_open.restype = ctypes.c_void_p
     lib.gaf_open.argtypes = [ctypes.c_char_p]
     lib.gaf_count.restype = ctypes.c_int64
@@ -73,12 +108,19 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p, ctypes.c_int64]
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def set_threads(n: int) -> None:
+    """Cap the native parser's worker count (CLI -j/--threads; reference
+    sizes its thread pool with it, src/main.cpp:658).  0 restores the
+    hardware-concurrency default.  No-op without the native library."""
+    lib = _load()
+    if lib is not None:
+        lib.gfalign_set_threads(int(n))
 
 
 def _blob_to_list(ptr: int, length: int) -> List[str]:

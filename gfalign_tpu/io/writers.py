@@ -101,3 +101,31 @@ def write_graph(graph: Graph, out_file: str) -> None:
     else:
         write_gfa1(graph, stream.write)
     stream.close()
+
+
+def write_decorated_gfa(graph: Graph, src_path: str, out_file: str) -> None:
+    """Input-preserving evalGFA decoration: echo the source GFA verbatim,
+    appending the RC:i tag eval_gfa computed to each edge record (L/E line)
+    in file order; every other line passes through untouched.
+
+    This is the likeliest match for gfalibs' (non-vendored) writer as used
+    by the reference decorate path (src/input-gfalign.cpp:96): the output
+    differs from the input only in the appended read-support tags.  The
+    canonical writer above remains the path for subgraph output, where a
+    new graph is synthesized rather than an input re-emitted.
+    """
+    from .stream import iter_lines
+
+    stream = OutputStream(out_file)
+    edge_i = 0
+    for line in iter_lines(src_path):
+        if line[:2] in ("L\t", "E\t") and edge_i < len(graph.links):
+            # eval_gfa appended its RC tag last; any RC already present in
+            # the input line stays where it was
+            tags = graph.links[edge_i].tags
+            edge_i += 1
+            rc = next((t for t in reversed(tags) if t[0] == "RC"), None)
+            if rc is not None:
+                line = f"{line}\t{rc[0]}:{rc[1]}:{rc[2]}"
+        stream.write(line + "\n")
+    stream.close()

@@ -162,15 +162,22 @@ void parse_gaf_chunk(const char* buf, size_t begin, size_t end, GafData* out) {
   }
 }
 
+// user-requested worker cap (reference -j/--threads -> threadPool.init,
+// src/main.cpp:658); 0 = use hardware_concurrency
+static int g_max_threads = 0;
+
 }  // namespace
 
 extern "C" {
+
+void gfalign_set_threads(int n) { g_max_threads = n; }
 
 GafData* gaf_open(const char* path) {
   std::string buf;
   if (!read_file(path, buf)) return nullptr;
   size_t n = buf.size();
-  unsigned hw = std::thread::hardware_concurrency();
+  unsigned hw = g_max_threads > 0 ? (unsigned)g_max_threads
+                                  : std::thread::hardware_concurrency();
   size_t n_chunks = hw ? hw : 4;
   if (n < (1u << 20)) n_chunks = 1;  // small files: skip thread overhead
   std::vector<size_t> bounds;

@@ -107,3 +107,58 @@ def test_cmd_flag_echoes_argv(tmp_path):
         os.chdir(old_cwd)
         sys.stdout = old_stdout
     assert buf.getvalue().startswith("gfalign ")
+
+
+def test_preset_missing_arg_falls_back_to_clr():
+    # reference align-mode quirk: `-p` with no argument selects the CLR
+    # parameter set instead of erroring (src/main.cpp:155-160)
+    from gfalign_tpu.cli.main import parse_args
+
+    ui = parse_args(["align", "-p"])
+    assert ui.preset == "CLR"
+
+
+def test_threads_flag_reaches_native_parser(tmp_path, monkeypatch):
+    # -j/--threads sizes the parse workers (reference threadPool.init,
+    # src/main.cpp:658) instead of being silently ignored
+    from gfalign_tpu.cli import main as climain
+    from gfalign_tpu.io import native
+
+    calls = []
+    monkeypatch.setattr(native, "set_threads", lambda n: calls.append(n))
+    gaf = tmp_path / "a.gaf"
+    gaf.write_text("r1\t10\t0\t10\t+\t>s1\t10\t0\t10\t10\t10\t60\n")
+    buf = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", buf)
+    climain.main(["evalGFA", "-g", str(gaf), "-j", "2"])
+    assert calls == [2]
+
+
+def test_cmd_echo_uses_argv0_as_typed(tmp_path, monkeypatch):
+    # reference --cmd echoes argv[0] verbatim (src/main.cpp:651-656)
+    from gfalign_tpu.cli import main as climain
+
+    gaf = tmp_path / "a.gaf"
+    gaf.write_text("r1\t10\t0\t10\t+\t>s1\t10\t0\t10\t10\t10\t60\n")
+    monkeypatch.setattr(sys, "argv",
+                        ["./build/bin/gfalign", "evalGFA", "-g", str(gaf), "--cmd"])
+    buf = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", buf)
+    climain.main()
+    first = buf.getvalue().splitlines()[0]
+    assert first == f"./build/bin/gfalign evalGFA -g {gaf} --cmd "
+
+
+def test_evalgfa_decorate_without_graph(tmp_path, monkeypatch):
+    # reference runs evalGFA + writeToStream on the empty graph when -o is
+    # given without -f (src/input-gfalign.cpp:93-97); must not error out
+    from gfalign_tpu.cli import main as climain
+
+    gaf = tmp_path / "a.gaf"
+    gaf.write_text("r1\t10\t0\t10\t+\t>s1\t10\t0\t10\t10\t10\t60\n")
+    out = tmp_path / "decorated.gfa"
+    buf = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", buf)
+    rc = climain.main(["evalGFA", "-g", str(gaf), "-o", str(out)])
+    assert rc == 0
+    assert out.exists()

@@ -87,3 +87,28 @@ def test_native_traceback_matches_python():
         ej = int(rng.integers(0, lp + 1))
         assert (seqalign.traceback(read, path, ei, ej)
                 == seqalign._traceback_py(read, path, ei, ej))
+
+
+def test_stale_library_degrades_gracefully(tmp_path, monkeypatch):
+    """A stale .so missing newer symbols must not crash _load(): it triggers
+    one forced rebuild, and if the path is still stale, falls back to None
+    (pure-Python paths) instead of raising AttributeError."""
+    import subprocess
+
+    src = tmp_path / "stale.c"
+    src.write_text("int gaf_unrelated(void){return 0;}\n")
+    so = tmp_path / "libgfalign_host.so"
+    subprocess.run(["gcc", "-shared", "-fPIC", "-o", str(so), str(src)],
+                   check=True)
+
+    monkeypatch.setattr(native, "_LIB_PATH", so)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+    rebuilds = []
+    monkeypatch.setattr(native, "_rebuild",
+                        lambda force: rebuilds.append(force) or True)
+    assert native._load() is None          # no AttributeError escape
+    assert rebuilds == [True]              # one forced rebuild was attempted
+    assert native.parse_gaf("/nonexistent") is None
+    assert native.local_traceback(
+        np.zeros(1, np.int8), np.zeros(1, np.int8), 0, 0, 1, -1, -1, 5, 4) is None

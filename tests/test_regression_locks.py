@@ -68,3 +68,29 @@ def test_locked_decorated_gfa(tmp_path):
         os.chdir(old_cwd)
         sys.stdout = old_stdout
     assert (tmp_path / "out.gfa").read_text() == (DATA / "decorated.gfa").read_text()
+
+
+def test_decorate_preserves_input_bytes(tmp_path):
+    """Input-preserving decoration: output differs from the source GFA only
+    by the appended RC:i tag on each L line (likeliest gfalibs writer match,
+    reference decorate path src/input-gfalign.cpp:96)."""
+    from gfalign_tpu.cli.main import main
+
+    (tmp_path / "testFiles").symlink_to(REFERENCE / "testFiles")
+    old_cwd, old_stdout = os.getcwd(), sys.stdout
+    try:
+        os.chdir(tmp_path)
+        sys.stdout = io.StringIO()
+        main(["evalGFA", "-f", "testFiles/random2.gfa",
+              "-g", "testFiles/random2.gaf", "-o", "out.gfa"])
+    finally:
+        os.chdir(old_cwd)
+        sys.stdout = old_stdout
+    src = (REFERENCE / "testFiles" / "random2.gfa").read_text().splitlines()
+    got = (tmp_path / "out.gfa").read_text().splitlines()
+    assert len(src) == len(got)
+    for s, g in zip(src, got):
+        if s.startswith("L\t"):
+            assert g.startswith(s + "\tRC:i:")
+        else:
+            assert g == s
