@@ -49,10 +49,23 @@ def _local_step(a_keys, a_len, b_keys, b_len, use_pallas=False):
     else:
         scores = nw_best_scores(a_keys, a_len, b_keys, b_len)  # (Cl, Rl)
 
+    import jax
+
     a_ids = jnp.where(a_keys >= 0, a_keys // 4, -1)            # (Cl, n)
     b_ids = jnp.where(b_keys >= 0, b_keys // 4, -2)            # (Rl, m)
-    # membership: read step id present anywhere in candidate id list
-    in_cand = (b_ids[None, :, :, None] == a_ids[:, None, None, :]).any(-1)
+    # membership: read step id present anywhere in candidate id list.
+    # Binary search against each candidate's sorted id list keeps the
+    # intermediate at (Cl, Rl, m) — the naive broadcast-compare builds a
+    # (Cl, Rl, m, n) bool that is ~2 GB/shard at realistic frontier shapes
+    # (C=64, R=8192, m=n=64); the reference's equivalent filter is
+    # O(reads*steps) (src/eval.cpp:81-91).
+    a_sorted = jnp.sort(a_ids, axis=-1)                        # (Cl, n)
+
+    def _member(c_sorted):
+        idx = jnp.searchsorted(c_sorted, b_ids)                # (Rl, m)
+        return jnp.take(c_sorted, jnp.minimum(idx, c_sorted.shape[0] - 1)) == b_ids
+
+    in_cand = jax.vmap(_member)(a_sorted)                      # (Cl, Rl, m)
     valid_step = (b_ids >= 0)[None]                            # (1, Rl, m)
     offending = valid_step & ~in_cand                          # (Cl, Rl, m)
     off_per_read = offending.sum(-1)                           # (Cl, Rl)

@@ -68,3 +68,30 @@ def test_pad_for_mesh():
     lens = np.ones((5,), np.int32)
     arr2, lens2 = pad_for_mesh(arr, lens, 4, -2)
     assert arr2.shape[0] == 8 and (arr2[5:] == -2).all() and (lens2[5:] == 0).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_step_realistic_shape_memory():
+    """Frontier scoring at realistic shapes (C=64, R=8192, m=n=64) must
+    compile with bounded per-device temp memory: the membership test is a
+    per-candidate binary search (O(C*R*m*log n) work, (Cl,Rl,m) memory),
+    not the naive (Cl,Rl,m,n) broadcast-compare whose materialization is
+    ~2 GB/shard and whose avoidance would otherwise be at the mercy of
+    backend fusion choices.  Reference filter semantics: src/eval.cpp:81-91."""
+    import functools
+
+    from gfalign_tpu.parallel.score_step import sharded_scoring_step
+
+    mesh = make_mesh(8)
+    C, n, R, m = 64, 64, 8192, 64
+    rng = np.random.default_rng(0)
+    a_keys = (rng.integers(0, 900, (C, n)) * 4
+              + rng.integers(0, 2, (C, n))).astype(np.int32)
+    a_len = np.full((C,), n, np.int32)
+    b_keys = (rng.integers(0, 900, (R, m)) * 4
+              + rng.integers(0, 2, (R, m))).astype(np.int32)
+    b_len = np.full((R,), m, np.int32)
+    f = jax.jit(functools.partial(sharded_scoring_step, mesh))
+    comp = f.lower(a_keys, a_len, b_keys, b_len).compile()
+    ma = comp.memory_analysis()
+    assert ma.temp_size_in_bytes < 512 * 1024 * 1024
