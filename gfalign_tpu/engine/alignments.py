@@ -397,15 +397,21 @@ class AlignmentSet:
                 cols_local[:, k + 1] = [self.numeric_at(i, col)
                                         for i in range(self.count)]
         cols_local[:, 0] = self._orig_indices()
-        qblob = "\n".join(self.qname_at(i) for i in range(self.count))
-        payload = qblob.encode() + b"\x00" + cols_local.tobytes()
+        # length-prefixed framing (count + qname-blob byte length): immune to
+        # empty qnames, which would desynchronize a newline-join/split
+        import struct
+
+        qbytes = "".join(self.qname_at(i) + "\n"
+                         for i in range(self.count)).encode()
+        payload = (struct.pack("<qq", self.count, len(qbytes))
+                   + qbytes + cols_local.tobytes())
         qnames: List[str] = []
         cols_parts = []
         for part in allgather_bytes(payload):
-            qpart, _, cpart = part.partition(b"\x00")
-            if qpart:
-                qnames.extend(qpart.decode().split("\n"))
-            cols_parts.append(np.frombuffer(cpart, np.int64).reshape(-1, 6))
+            n_rec, qlen = struct.unpack_from("<qq", part)
+            qnames.extend(part[16:16 + qlen].decode().split("\n")[:n_rec])
+            cols_parts.append(
+                np.frombuffer(part[16 + qlen:], np.int64).reshape(-1, 6))
         cols = np.concatenate(cols_parts) if cols_parts else np.zeros((0, 6), np.int64)
         assert len(qnames) == len(cols)
         order = sorted(range(len(qnames)),

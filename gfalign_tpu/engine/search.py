@@ -88,7 +88,11 @@ class NodeTable:
 @dataclass
 class PartialPath:
     steps: List[Step]
-    counts: Dict[str, int]  # remaining visit budget per node name
+    # times each node name was ENTERED past the seed step; remaining budget
+    # for a name = NodeTable count - visits.get(name, 0).  Keyed only by
+    # visited names, so the per-expansion copy is O(path length), not
+    # O(node-table size) like a full remaining-count dict would be.
+    visits: Dict[str, int]
 
 
 def search(graph: Graph,
@@ -121,8 +125,7 @@ def search(graph: Graph,
 
     heap: List[Tuple[int, int, PartialPath]] = []
     seq = 0
-    first = PartialPath([Step(table.records[source][0], "0")],
-                        {name: count for name, (uid, count) in table.records.items()})
+    first = PartialPath([Step(table.records[source][0], "0")], {})
     heapq.heappush(heap, (0, seq, first))
     seq += 1
 
@@ -133,8 +136,8 @@ def search(graph: Graph,
             if last.orientation != "0" and last.orientation != v.or0:
                 continue
             name = graph.segment(v.nid).name
-            remaining = u.counts.get(name)
-            if remaining is None or remaining <= 0:
+            rec = table.records.get(name)
+            if rec is None or rec[1] - u.visits.get(name, 0) <= 0:
                 continue
             new_steps = list(u.steps)
             if new_steps[-1].orientation == "0":
@@ -182,26 +185,34 @@ def search(graph: Graph,
             # usually the next pops.  Gated on to_score: running this on
             # cache-hit pops would issue a tiny dispatch per pop and defeat
             # the batching entirely.
-            frontier = [(u.counts, e) for e in expansions]
+            frontier = [(u.visits, e) for e in expansions]
             for _depth in range(spec_depth):
                 nxt = []
-                for counts, (v, name, new_steps, _) in frontier:
+                for visits, (v, name, new_steps, _) in frontier:
                     if v.nid == dest_uid:
                         continue
-                    child_counts = dict(counts)
-                    child_counts[name] -= 1
-                    child = PartialPath(new_steps, child_counts)
+                    child_visits = dict(visits)
+                    child_visits[name] = child_visits.get(name, 0) + 1
+                    child = PartialPath(new_steps, child_visits)
                     for g in admissible_expansions(child):
                         key = tuple(g[2])
                         if key not in score_cache and key not in seen_keys:
                             seen_keys.add(key)
                             to_score.append((key, g[2]))
-                        nxt.append((child_counts, g))
+                        nxt.append((child_visits, g))
                 frontier = nxt
                 if len(to_score) > 4096:
                     break
         if speculate and to_score:
-            for _, _, spec in heapq.nsmallest(speculate, heap):
+            # speculation pool: sort a short PREFIX of the heap array instead
+            # of heapq.nsmallest over the whole heap (O(len(heap)) per pop,
+            # hostile at the reference's 100k-step cap).  The array prefix of
+            # a binary heap is biased toward the smallest elements, and a
+            # wrong guess only costs an unused cache entry — output order
+            # never depends on speculation.  Deterministic across processes:
+            # identical heap arrays everywhere.
+            pool = sorted(heap[:4 * speculate], key=lambda t: (t[0], t[1]))
+            for _, _, spec in pool[:speculate]:
                 for _, _, new_steps, _ in admissible_expansions(spec):
                     key = tuple(new_steps)
                     if key not in score_cache and key not in seen_keys:
@@ -218,9 +229,9 @@ def search(graph: Graph,
         for (v, name, new_steps, uniques), sc in zip(expansions, scores):
             alt = sc.bad - sc.good - len(uniques)
             if v.nid != dest_uid:
-                new_counts = dict(u.counts)
-                new_counts[name] -= 1
-                heapq.heappush(heap, (alt, seq, PartialPath(new_steps, new_counts)))
+                new_visits = dict(u.visits)
+                new_visits[name] = new_visits.get(name, 0) + 1
+                heapq.heappush(heap, (alt, seq, PartialPath(new_steps, new_visits)))
                 seq += 1
             else:
                 path_counter += 1

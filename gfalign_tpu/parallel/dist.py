@@ -45,49 +45,69 @@ def shard_records(records: Iterable[T],
             yield rec
 
 
-def allreduce_stats(totals: List[int], mesh=None) -> List[int]:
-    """Sum per-host int totals across all devices/hosts.
+# Persistent reducer state: the 1-D mesh, sharding, and jitted psum are
+# built ONCE per (mesh, padded-width) and reused for every frontier — the
+# old per-call rebuild dominated multi-host search time (one reduction per
+# frontier at up to 100k frontiers/run).  Widths are padded to powers of two
+# so varying frontier sizes share compiles.
+_REDUCER_CACHE: dict = {}
 
-    Uses a tiny psum over the mesh's first axis; with one process this is
-    the identity.  Exact: int64 addition is associative."""
-    _, count = process_info()
-    if count == 1 and mesh is None:
-        return list(totals)
+
+def _reducer(mesh, width: int, count: int):
+    key = (id(mesh) if mesh is not None else None, width)
+    got = _REDUCER_CACHE.get(key)
+    if got is not None:
+        return got
     import jax
-    from jax.sharding import PartitionSpec as P
     from jax import shard_map
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
 
     if mesh is None:
         from .mesh import make_mesh
 
         mesh = make_mesh(axis_names=("data",))
     axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
-    n_local = max(1, n_dev // max(1, count))
+    n_local = max(1, mesh.devices.size // max(1, count))
+    mesh1d = Mesh(mesh.devices.reshape(-1), (axis,))
+    sharding = NamedSharding(mesh1d, P(axis, None))
+
+    mapped = jax.jit(shard_map(lambda x: jax.lax.psum(x, axis), mesh=mesh1d,
+                               in_specs=P(axis, None), out_specs=P(axis, None)))
+    got = (mesh1d, sharding, mapped, n_local)
+    _REDUCER_CACHE[key] = got
+    return got
+
+
+def allreduce_stats(totals: List[int], mesh=None) -> List[int]:
+    """Sum per-host int totals across all devices/hosts.
+
+    Uses a tiny psum over the mesh's first axis; with one process this is
+    the identity.  Exact: int64 addition is associative.  The mesh,
+    sharding, and compiled psum persist across calls (see _REDUCER_CACHE)."""
+    _, count = process_info()
+    if count == 1 and mesh is None:
+        return list(totals)
+    import jax
+
+    n = len(totals)
+    width = 1
+    while width < n:
+        width *= 2
+    _, sharding, mapped, n_local = _reducer(mesh, width, count)
     # one contribution row per device; only each host's FIRST device carries
     # the host totals, so the psum counts every host exactly once
-    local = np.zeros((n_local, len(totals)), dtype=np.int64)
-    local[0] = np.asarray(totals, dtype=np.int64)
-    flat_mesh = mesh.devices.reshape(-1)
-    from jax.sharding import Mesh, NamedSharding
-
-    mesh1d = Mesh(flat_mesh, (axis,))
-    sharding = NamedSharding(mesh1d, P(axis, None))
+    local = np.zeros((n_local, width), dtype=np.int64)
+    local[0, :n] = np.asarray(totals, dtype=np.int64)
     if count == 1:
         garr = jax.device_put(local, sharding)
     else:
         garr = jax.make_array_from_process_local_data(sharding, local)
-
-    def reduce_fn(x):
-        return jax.lax.psum(x, axis)
-
-    mapped = shard_map(reduce_fn, mesh=mesh1d,
-                       in_specs=P(axis, None), out_specs=P(axis, None))
     result = mapped(garr)
     # after the psum every shard holds the global totals; only the local
     # addressable shard can be fetched in a multi-process run
     local = np.asarray(result.addressable_shards[0].data)
-    return [int(v) for v in local[0]]
+    return [int(v) for v in local[0, :n]]
 
 
 def allgather_bytes(payload: bytes) -> List[bytes]:
