@@ -40,6 +40,32 @@ from ..utils.log import lg
 MIN_SCORE = 20          # reject spurious local hits (hifi preset)
 
 
+class CapAudit:
+    """Counts every place a bounding cap actually dropped candidate work, so
+    no truncation is silent: align_reads reports the tallies on stderr and
+    the seeded pipeline retries unplaced reads with the caps raised."""
+
+    def __init__(self) -> None:
+        from collections import defaultdict
+
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    def hit(self, name: str, n: int = 1) -> None:
+        self.counts[name] += n
+
+    def merge(self, other: "CapAudit") -> None:
+        for k, v in other.counts.items():
+            self.counts[k] += v
+
+    def __bool__(self) -> bool:
+        return bool(self.counts)
+
+    def report(self, context: str) -> None:
+        if self.counts:
+            detail = ", ".join(f"{k}={v}" for k, v in sorted(self.counts.items()))
+            lg.warn(f"{context}: candidate caps bound ({detail})")
+
+
 def _fmt_g(value: float) -> str:
     """C++ %g-style float (GraphAligner tag formatting): 6 significant
     digits, no trailing zeros."""
@@ -123,10 +149,12 @@ def build_oriented(graph: Graph, steps: List[Tuple[int, str]],
 
 
 def enumerate_paths(graph: Graph, max_paths: int = 4096,
-                    max_depth: Optional[int] = None) -> List[OrientedPath]:
+                    max_depth: Optional[int] = None,
+                    audit: Optional[CapAudit] = None) -> List[OrientedPath]:
     """All maximal oriented simple paths (no repeated (segment, orientation)
     state), from every start state; contiguous subpaths of another
-    enumerated path are dropped."""
+    enumerated path are dropped.  Caps that actually bind are counted on
+    `audit` — never silently."""
     adj = graph.adjacency
     n = graph.n_segments
     max_depth = max_depth or min(2 * n, 64)
@@ -134,6 +162,8 @@ def enumerate_paths(graph: Graph, max_paths: int = 4096,
 
     def dfs(state_path: List[Tuple[int, str]], visited: set) -> None:
         if len(raw) >= max_paths:
+            if audit is not None:
+                audit.hit("enumerate_paths.max_paths")
             return
         sid, orientation = state_path[-1]
         extended = False
@@ -150,6 +180,10 @@ def enumerate_paths(graph: Graph, max_paths: int = 4096,
                 state_path.pop()
                 visited.remove(nxt)
                 extended = True
+        elif audit is not None and any(
+                e.or0 == orientation and (e.nid, e.or1) not in visited
+                for e in adj[sid]):
+            audit.hit("enumerate_paths.max_depth")
         if not extended:
             raw.append(list(state_path))
 
@@ -303,7 +337,10 @@ def align_reads(graph: Graph, reads: Sequence[Tuple[str, str]],
     k-mer seed-and-extend candidate generation (engine/seeding.py)."""
     if graph.n_segments > SEED_THRESHOLD:
         return _align_seeded(graph, reads, min_score)
-    return _align_with_paths(graph, reads, enumerate_paths(graph), min_score)
+    audit = CapAudit()
+    paths = enumerate_paths(graph, audit=audit)
+    audit.report("align(exhaustive)")
+    return _align_with_paths(graph, reads, paths, min_score)
 
 
 def _align_seeded(graph: Graph, reads, min_score: int):
@@ -315,17 +352,22 @@ def _align_seeded(graph: Graph, reads, min_score: int):
     from ..ops.nw_path import pad_pow2
     from .seeding import KmerIndex, paths_around_anchor
 
+    from .seeding import MAX_ANCHORS_PER_READ, MAX_PATHS_PER_ANCHOR
+
     index = KmerIndex(graph)
     lut = overlap_table(graph)
     path_cache: Dict[tuple, OrientedPath] = {}
     code_cache: Dict[tuple, np.ndarray] = {}
-    cand_lists: List[List[tuple]] = []
     cand_deltas: Dict[Tuple[int, tuple], int] = {}  # (read, key) -> diagonal
-    for r, (_, seq) in enumerate(reads):
+
+    def gen_candidates(r: int, seq: str, max_anchors: int, max_paths: int,
+                       audit: CapAudit) -> List[tuple]:
         cands: List[tuple] = []
         seen = set()
-        for anchor, seg_diag in index.anchors_with_diag(encode_seq(seq)):
-            for steps in paths_around_anchor(graph, anchor, len(seq)):
+        for anchor, seg_diag in index.anchors_with_diag(
+                encode_seq(seq), max_anchors, audit=audit):
+            for steps in paths_around_anchor(graph, anchor, len(seq),
+                                             max_paths, audit=audit):
                 key = tuple(steps)
                 if key in seen:
                     continue
@@ -341,7 +383,13 @@ def _align_seeded(graph: Graph, reads, min_score: int):
                 cand_deltas[(r, key)] = (
                     path_cache[key].offsets[anchor_idx] + seg_diag)
                 cands.append(key)
-        cand_lists.append(cands)
+        return cands
+
+    read_audits = [CapAudit() for _ in reads]
+    cand_lists: List[List[tuple]] = [
+        gen_candidates(r, seq, MAX_ANCHORS_PER_READ, MAX_PATHS_PER_ANCHOR,
+                       read_audits[r])
+        for r, (_, seq) in enumerate(reads)]
 
     work = [np.array(encode_seq(seq), dtype=np.int8) for _, seq in reads]
     all_hits: List[List[GafHit]] = [[] for _ in reads]
@@ -420,7 +468,8 @@ def _align_seeded(graph: Graph, reads, min_score: int):
                 results[n] = sub[slot]
         return results
 
-    for _round in range(4):
+    def placement_rounds(active: List[int]) -> None:
+      for _round in range(4):
         if not active:
             break
         pairs = [(r, key) for r in active for key in cand_lists[r]]
@@ -464,6 +513,30 @@ def _align_seeded(graph: Graph, reads, min_score: int):
                 if _longest_uncovered(qlen, accepted[r]) >= min_score:
                     next_active.append(r)
         active = next_active
+
+    placement_rounds(active)
+
+    # adaptive caps: a read left unplaced (or with a scoreable uncovered
+    # stretch) while its candidate generation hit a cap gets one retry with
+    # the caps raised 4x — a correct placement must never be lost to a
+    # default bound
+    retry = [r for r in range(len(reads))
+             if read_audits[r]
+             and (not all_hits[r]
+                  or _longest_uncovered(len(reads[r][1]),
+                                        accepted[r]) >= min_score)]
+    if retry:
+        for r in retry:
+            read_audits[r].hit("reads_retried_with_raised_caps")
+            cand_lists[r] = gen_candidates(
+                r, reads[r][1], 4 * MAX_ANCHORS_PER_READ,
+                4 * MAX_PATHS_PER_ANCHOR, CapAudit())
+        placement_rounds([r for r in retry if cand_lists[r]])
+
+    audit = CapAudit()
+    for ra in read_audits:
+        audit.merge(ra)
+    audit.report("align(seeded)")
 
     for hits in all_hits:
         for h in hits:

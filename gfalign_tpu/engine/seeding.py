@@ -73,11 +73,15 @@ class KmerIndex:
                                                          max_anchors)]
 
     def anchors_with_diag(self, read_codes: np.ndarray,
-                          max_anchors: int = MAX_ANCHORS_PER_READ
-                          ) -> List[Tuple[Tuple[int, str], int]]:
+                          max_anchors: int = MAX_ANCHORS_PER_READ,
+                          audit=None) -> List[Tuple[Tuple[int, str], int]]:
         """[(anchor, diag)] by vote count; diag is the most-voted
         (segment offset - read position) — the expected alignment diagonal
-        within the oriented segment, which the banded scorer centers on."""
+        within the oriented segment, which the banded scorer centers on.
+
+        The cap extends through vote TIES at the boundary (an anchor as
+        well-supported as a kept one is never silently dropped); anchors
+        dropped past that are counted on `audit`."""
         votes: Dict[Tuple[int, str], int] = defaultdict(int)
         diag_votes: Dict[Tuple[int, str], Dict[int, int]] = defaultdict(
             lambda: defaultdict(int))
@@ -88,8 +92,13 @@ class KmerIndex:
                 votes[(sid, orientation)] += 1
                 diag_votes[(sid, orientation)][off - pos] += 1
         ranked = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        cut = min(max_anchors, len(ranked))
+        while 0 < cut < len(ranked) and ranked[cut][1] == ranked[cut - 1][1]:
+            cut += 1
+        if audit is not None and cut < len(ranked):
+            audit.hit("anchors_per_read", len(ranked) - cut)
         out = []
-        for key, _ in ranked[:max_anchors]:
+        for key, _ in ranked[:cut]:
             dv = diag_votes[key]
             diag = max(dv.items(), key=lambda kv: (kv[1], -abs(kv[0])))[0]
             out.append((key, diag))
@@ -98,9 +107,13 @@ class KmerIndex:
 
 def paths_around_anchor(graph: Graph, anchor: Tuple[int, str],
                         target_len: int,
-                        max_paths: int = MAX_PATHS_PER_ANCHOR) -> List[List[Tuple[int, str]]]:
+                        max_paths: int = MAX_PATHS_PER_ANCHOR,
+                        audit=None) -> List[List[Tuple[int, str]]]:
     """Oriented simple paths through the anchor whose merged length covers
-    target_len on both sides (branching-capped DFS in each direction)."""
+    target_len on both sides (branching-capped DFS in each direction).
+    Work dropped by a binding cap is counted on `audit` (no silent
+    truncation); callers can re-run with larger caps when a read fails to
+    place and its audit shows truncation."""
     from ..graph.model import flip
 
     adj = graph.adjacency
@@ -110,6 +123,8 @@ def paths_around_anchor(graph: Graph, anchor: Tuple[int, str],
 
         def dfs(path: List[Tuple[int, str]], covered: int, visited: Set):
             if len(results) >= max_paths:
+                if audit is not None:
+                    audit.hit("paths_per_anchor_dfs")
                 return
             sid, orientation = path[-1]
             extended = False
@@ -137,16 +152,27 @@ def paths_around_anchor(graph: Graph, anchor: Tuple[int, str],
     rights = extend(anchor, budget)
     # left extensions = reverse-complement walks from the flipped anchor
     lefts_rc = extend((sid, flip(orientation)), budget)
+    # combine left x right within the max_paths budget, visiting index pairs
+    # in a balanced order (small max(l, r) first) so a short side never
+    # starves the other: one left extension + 60 rights uses all 60 rights,
+    # not a fixed per-side slice
+    order = sorted(((li, ri) for li in range(min(len(lefts_rc), max_paths))
+                    for ri in range(min(len(rights), max_paths))),
+                   key=lambda p: (max(p), p[0] + p[1], p))
+    lefts = [[(s, flip(o)) for s, o in reversed(lr)][:-1]  # drop anchor dup
+             for lr in lefts_rc[:max_paths]]
     paths = []
     seen = set()
-    for left_rc in lefts_rc[:4]:
-        left = [(s, flip(o)) for s, o in reversed(left_rc)][:-1]  # drop anchor dup
-        for right in rights[:4]:
-            combined = left + right
-            key = tuple(combined)
-            if key not in seen:
-                seen.add(key)
-                paths.append(combined)
+    truncated = max(len(lefts_rc), len(rights)) > max_paths
+    for li, ri in order:
+        combined = lefts[li] + rights[ri]
+        key = tuple(combined)
+        if key not in seen:
+            seen.add(key)
             if len(paths) >= max_paths:
-                return paths
+                truncated = True
+                break
+            paths.append(combined)
+    if truncated and audit is not None:
+        audit.hit("paths_per_anchor")
     return paths

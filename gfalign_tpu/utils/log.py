@@ -21,5 +21,10 @@ class Log:
             elapsed = time.monotonic() - self.start
             print(f"[{elapsed:.2f}s] {msg}", file=sys.stderr)
 
+    def warn(self, msg: str) -> None:
+        """Always-on stderr warning (stdout byte-parity is never touched)."""
+        elapsed = time.monotonic() - self.start
+        print(f"[{elapsed:.2f}s] WARNING: {msg}", file=sys.stderr)
+
 
 lg = Log()

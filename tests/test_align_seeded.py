@@ -85,3 +85,33 @@ def test_seeded_junk_read(chain):
     # high-identity hit
     for h in hits:
         assert h.nm > 0 or h.matches < 30 or h.blocklen >= 20
+
+
+def test_cap_bound_placement_recovered_by_adaptive_retry():
+    """A correct placement must not be lost to the default
+    MAX_PATHS_PER_ANCHOR bound: a 60-way branch point whose true
+    continuation sorts last in adjacency order is invisible to the capped
+    first pass; the audit-driven retry with raised caps must recover it,
+    and the truncation must be counted (never silent)."""
+    rng = random.Random(11)
+    graph = Graph()
+    a_seq = "".join(rng.choice("ACGT") for _ in range(100))
+    graph.add_segment("A", a_seq)
+    n_branch = 60
+    tails = []
+    for i in range(n_branch):
+        t = "".join(rng.choice("ACGT") for _ in range(14))  # < k: unanchorable
+        tails.append(t)
+        graph.add_segment(f"B{i}", t)
+        graph.links.append(Link(0, "+", i + 1, "+", "0M"))
+    assert graph.n_segments > SEED_THRESHOLD
+    true_branch = n_branch - 1                 # last in adjacency order
+    read = a_seq + tails[true_branch]
+
+    results = align_reads(graph, [("rd", read)], min_score=10)
+    (_, qlen, hits), = results
+    assert hits, "read must place"
+    covered = sorted((h.qstart, h.qend) for h in hits)
+    # the B-tail region must be covered — only reachable past the cap
+    assert any(b > 105 for _, b in covered), covered
+    assert any(f"B{true_branch}" in h.path_str for h in hits)
