@@ -428,7 +428,9 @@ def _align_seeded(graph: Graph, reads, min_score: int):
                 pc[slot, :len(code_cache[key])] = code_cache[key]
             best, bi, bj = seqalign.batched_pair_scores(rc, pc)
             for slot, n in enumerate(idxs):
-                results[n] = (int(best[slot]), int(bi[slot]), int(bj[slot]))
+                # False: scored by the full DP -> traceback must be full too
+                results[n] = (int(best[slot]), int(bi[slot]), int(bj[slot]),
+                              False)
         return results
 
     BAND = 128
@@ -455,13 +457,14 @@ def _align_seeded(graph: Graph, reads, min_score: int):
             dl[n] = deltas[n]
         best, bi, bj, edge = seqalign.banded_pair_scores(rc, pc, dl,
                                                          width=BAND)
-        results: Dict[int, Tuple[int, int, int]] = {}
+        results: Dict[int, Tuple[int, int, int, bool]] = {}
         redo = []
         for n in range(len(pairs)):
             if edge[n] or best[n] < min_score:
                 redo.append(n)
             else:
-                results[n] = (int(best[n]), int(bi[n]), int(bj[n]))
+                # True: banded-scored -> banded traceback eligible
+                results[n] = (int(best[n]), int(bi[n]), int(bj[n]), True)
         if redo:
             sub = score_pairs_full([pairs[n] for n in redo])
             for slot, n in enumerate(redo):
@@ -474,24 +477,33 @@ def _align_seeded(graph: Graph, reads, min_score: int):
             break
         pairs = [(r, key) for r in active for key in cand_lists[r]]
         scored = score_pairs(pairs)
-        by_read: Dict[int, List[Tuple[int, int, int, tuple]]] = defaultdict(list)
+        by_read: Dict[int, List[tuple]] = defaultdict(list)
         for n, (r, key) in enumerate(pairs):
-            v, bi, bj = scored[n]
-            by_read[r].append((v, bi, bj, key))
+            v, bi, bj, banded = scored[n]
+            by_read[r].append((v, bi, bj, banded, key))
         next_active = []
         for r in active:
             entries = sorted(by_read[r], key=lambda e: -e[0])
             placed = False
             rcodes = work[r]
             qlen = len(rcodes)
-            for v, bi, bj, key in entries:
+            for v, bi, bj, banded, key in entries:
                 if v < min_score:
                     break
                 path = path_cache[key]
                 if _reject_ending_inside(graph, path, v, bi, bj,
                                          accepted[r], all_hits[r]):
                     continue
-                pl = seqalign.traceback(rcodes, code_cache[key], bi, bj)
+                pl = None
+                if banded:
+                    # banded traceback (O(Lr x BAND)); parity-gated — None
+                    # falls through to the exact full-matrix walk
+                    delta = cand_deltas.get((r, key))
+                    if delta is not None:
+                        pl = seqalign.banded_traceback(
+                            rcodes, code_cache[key], bi, bj, delta, BAND, v)
+                if pl is None:
+                    pl = seqalign.traceback(rcodes, code_cache[key], bi, bj)
                 if pl.score < min_score:
                     continue
                 shadowed = [h for (a, b), h in zip(accepted[r], all_hits[r])

@@ -108,6 +108,15 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p, ctypes.c_int64]
+    lib.seq_banded_traceback.restype = ctypes.c_int64
+    lib.seq_banded_traceback.argtypes = [
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p, ctypes.c_int64]
 
 
 def available() -> bool:
@@ -225,6 +234,35 @@ def local_traceback(read_codes: np.ndarray, path_codes: np.ndarray,
         pt.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), len(pt),
         int(end_i), int(end_j), match, mismatch, gap, pad, block,
         out5, ops, ops_cap)
+    if n_ops < 0:
+        return None
+    return (int(out5[0]), int(out5[1]), int(out5[2]), int(out5[3]),
+            int(out5[4]), ops.raw[:n_ops].decode())
+
+
+def banded_local_traceback(read_codes: np.ndarray, path_codes: np.ndarray,
+                           end_i: int, end_j: int, delta: int, width: int,
+                           expected: int, match: int, mismatch: int,
+                           gap: int, pad: int, block: int):
+    """Banded traceback with parity gates (seq_banded_traceback).
+
+    Returns (score, qstart, pstart, matches, nm, ops_str), or None when the
+    native library is unavailable OR a parity gate failed (banded end value
+    != expected device score / walk touched the band edge) — the caller
+    falls back to the full-matrix traceback."""
+    lib = _load()
+    if lib is None:
+        return None
+    rd = np.ascontiguousarray(read_codes, dtype=np.int8)
+    pt = np.ascontiguousarray(path_codes, dtype=np.int8)
+    ops_cap = int(end_i) + int(end_j) + 2
+    ops = ctypes.create_string_buffer(ops_cap)
+    out5 = (ctypes.c_int32 * 5)()
+    n_ops = lib.seq_banded_traceback(
+        rd.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), len(rd),
+        pt.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), len(pt),
+        int(end_i), int(end_j), int(delta), int(width), int(expected),
+        match, mismatch, gap, pad, block, out5, ops, ops_cap)
     if n_ops < 0:
         return None
     return (int(out5[0]), int(out5[1]), int(out5[2]), int(out5[3]),

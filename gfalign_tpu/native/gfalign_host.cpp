@@ -377,4 +377,96 @@ int64_t seq_local_traceback(const int8_t* read, int64_t lr, const int8_t* path,
   return n_ops;
 }
 
+// Banded variant of seq_local_traceback: recompute only the band
+// H[i][j], j = i + delta - width/2 + u (the same band ops/seqalign.py's
+// _banded_forward scored on device), then walk back from (end_i, end_j).
+// O(end_i * width) instead of O(end_i * end_j).
+//
+// PARITY GATES (banded H <= full H even in-band, so walk decisions can
+// diverge from the full matrix): the walk is only trusted when
+//   (a) the banded end-cell value equals `expected` (the device/full score);
+//   (b) the walk never touches a band-edge lane (u == 0 or width-1) while
+//       its score is positive.
+// Any gate failure returns -2 and the caller falls back to the full-matrix
+// seq_local_traceback.  Returns n_ops >= 0 on success, -1 on bad input.
+int64_t seq_banded_traceback(const int8_t* read, int64_t lr, const int8_t* path,
+                             int64_t lp, int64_t end_i, int64_t end_j,
+                             int64_t delta, int32_t width, int32_t expected,
+                             int32_t match, int32_t mismatch, int32_t gap,
+                             int32_t pad_code, int32_t block, int32_t* out5,
+                             char* ops, int64_t ops_cap) {
+  if (end_i < 0 || end_j < 0 || end_i > lr || end_j > lp || width < 4)
+    return -1;
+  const int64_t W2 = width / 2;
+  const int64_t u_end = end_j - end_i - delta + W2;
+  if (u_end <= 0 || u_end >= width - 1) return -2;  // end at/off band edge
+  const size_t Wz = static_cast<size_t>(width);
+  std::vector<int32_t> H(static_cast<size_t>(end_i + 1) * Wz, 0);
+  for (int64_t i = 1; i <= end_i; i++) {
+    const int32_t rc = read[i - 1];
+    const int32_t* prev = H.data() + (i - 1) * Wz;
+    int32_t* cur = H.data() + i * Wz;
+    int32_t left = 0;  // chain seed: leading 0 of the prefix scan
+    for (int64_t u = 0; u < width; u++) {
+      const int64_t j = i + delta - W2 + u;
+      if (j < 1 || j > lp) {
+        cur[u] = 0;
+        left = 0;
+        continue;
+      }
+      const int32_t pc = path[j - 1];
+      const int32_t sub = (rc == pad_code || pc == pad_code)
+                              ? block
+                              : ((rc < 4 && pc < 4 && rc == pc) ? match
+                                                                : mismatch);
+      int32_t c = prev[u] + sub;                       // diag keeps its lane
+      const int32_t up =
+          (u + 1 < width ? prev[u + 1] : block) + gap;  // read-gap shifts +1
+      if (up > c) c = up;
+      if (c < 0) c = 0;
+      const int32_t chained = left + gap;
+      cur[u] = chained > c ? chained : c;
+      left = cur[u];
+    }
+  }
+  int64_t i = end_i, u = u_end;
+  const int32_t end_val = H[i * Wz + u];
+  if (end_val != expected) return -2;  // banded end != device score
+  out5[0] = end_val;
+  int64_t n_ops = 0;
+  int32_t matches = 0, nm = 0;
+  while (i > 0 && H[i * Wz + u] > 0) {
+    if (u <= 0 || u >= width - 1) return -2;  // walk touched the band edge
+    const int64_t j = i + delta - W2 + u;
+    if (j <= 0) break;
+    const int32_t rc = read[i - 1];
+    const int32_t sub = (rc == path[j - 1] && rc < 4) ? match : mismatch;
+    const int32_t h = H[i * Wz + u];
+    char op;
+    if (h == H[(i - 1) * Wz + u] + sub) {
+      op = sub == match ? '=' : 'X';
+      if (sub == match) matches++; else nm++;
+      i--;                       // diag: same lane
+    } else if (h == H[(i - 1) * Wz + (u + 1)] + gap) {
+      op = 'I'; nm++; i--; u++;  // read gap
+    } else if (h == H[i * Wz + (u - 1)] + gap) {
+      op = 'D'; nm++; u--;       // path gap
+    } else {
+      break;  // local start (c floored at 0 mid-row)
+    }
+    if (n_ops >= ops_cap) return -1;
+    ops[n_ops++] = op;
+  }
+  if (u <= 0 || u >= width - 1) return -2;  // start cell on the band edge
+  for (int64_t a = 0, b = n_ops - 1; a < b; a++, b--) {
+    char t = ops[a]; ops[a] = ops[b]; ops[b] = t;
+  }
+  const int64_t j = i + delta - W2 + u;
+  out5[1] = static_cast<int32_t>(i);  // qstart
+  out5[2] = static_cast<int32_t>(j < 0 ? 0 : j);  // pstart
+  out5[3] = matches;
+  out5[4] = nm;
+  return n_ops;
+}
+
 }  // extern "C"

@@ -326,6 +326,102 @@ def traceback(read: np.ndarray, path: np.ndarray,
     return _traceback_py(read, path, end_i, end_j)
 
 
+def banded_traceback(read: np.ndarray, path: np.ndarray,
+                     end_i: int, end_j: int, delta: int, width: int,
+                     expected: int):
+    """Banded traceback for a pair scored by banded_pair_scores: recomputes
+    only the band (O(end_i x width) vs the full matrix's O(end_i x end_j))
+    and walks back from (end_i, end_j).
+
+    Banded H <= full H even at interior cells, so the walk is only trusted
+    behind two parity gates: the banded end-cell value must equal
+    `expected` (the device score) and the walk must never touch a band-edge
+    lane.  Returns None when a gate fails (or coordinates are off-band) —
+    the caller falls back to the exact full-matrix traceback().  The
+    exhaustive align mode (byte-locked fixtures) never uses this path."""
+    from ..io import native
+
+    res = native.banded_local_traceback(read, path, end_i, end_j, delta,
+                                        width, expected, MATCH, MISMATCH,
+                                        GAP, PAD, _BLOCK)
+    if res is None and not native.available():
+        res = _banded_traceback_py(read, path, end_i, end_j, delta, width,
+                                   expected)
+    if res is None:
+        return None
+    score, qstart, pstart, matches, nm, ops = res
+    return Placement(score, qstart, end_i, pstart, end_j,
+                     _runs(ops), matches, nm)
+
+
+def _banded_traceback_py(read: np.ndarray, path: np.ndarray,
+                         end_i: int, end_j: int, delta: int, width: int,
+                         expected: int):
+    """numpy mirror of native seq_banded_traceback (oracle + fallback);
+    same parity gates, same return contract (None = gate failed)."""
+    lr, lp = len(read), len(path)
+    if end_i < 0 or end_j < 0 or end_i > lr or end_j > lp or width < 4:
+        return None
+    w2 = width // 2
+    u_end = end_j - end_i - delta + w2
+    if u_end <= 0 or u_end >= width - 1:
+        return None
+    H = np.zeros((end_i + 1, width), np.int32)
+    uidx = np.arange(width)
+    decay = -GAP * uidx.astype(np.int32)
+    for i in range(1, end_i + 1):
+        j_of_u = i + delta - w2 + uidx
+        in_path = (j_of_u >= 1) & (j_of_u <= lp)
+        pc = path[np.clip(j_of_u - 1, 0, lp - 1)]
+        rc = read[i - 1]
+        sub = np.where((pc == PAD) | (rc == PAD), _BLOCK,
+                       np.where((pc < 4) & (rc < 4) & (pc == rc),
+                                MATCH, MISMATCH))
+        prev = H[i - 1]
+        up = np.concatenate([prev[1:], [_BLOCK]])
+        c = np.maximum(0, np.maximum(prev + sub, up + GAP))
+        c = np.where(in_path, c, 0)
+        row = np.maximum.accumulate(c + decay) - decay
+        H[i] = np.where(in_path, row, 0)
+    i, u = end_i, u_end
+    if int(H[i, u]) != expected:
+        return None
+    score = int(H[i, u])
+    ops: List[str] = []
+    matches = 0
+    nm = 0
+    while i > 0 and H[i, u] > 0:
+        if u <= 0 or u >= width - 1:
+            return None
+        j = i + delta - w2 + u
+        if j <= 0:
+            break
+        sub = MATCH if (read[i - 1] == path[j - 1] and read[i - 1] < 4) else MISMATCH
+        if H[i, u] == H[i - 1, u] + sub:
+            ops.append("=" if sub == MATCH else "X")
+            if sub == MATCH:
+                matches += 1
+            else:
+                nm += 1
+            i -= 1
+        elif H[i, u] == H[i - 1, u + 1] + GAP:
+            ops.append("I")
+            nm += 1
+            i -= 1
+            u += 1
+        elif H[i, u] == H[i, u - 1] + GAP:
+            ops.append("D")
+            nm += 1
+            u -= 1
+        else:
+            break
+    if u <= 0 or u >= width - 1:
+        return None
+    ops.reverse()
+    j = i + delta - w2 + u
+    return score, i, max(0, j), matches, nm, "".join(ops)
+
+
 def _traceback_py(read: np.ndarray, path: np.ndarray,
                   end_i: int, end_j: int) -> Placement:
     H = _matrix(read, path)

@@ -4,6 +4,7 @@ out-of-band fallback."""
 
 import numpy as np
 
+from gfalign_tpu.ops import seqalign
 from gfalign_tpu.ops.seqalign import (PAD, _jitted_forward_pairs,
                                       banded_pair_scores)
 
@@ -80,3 +81,88 @@ def test_banded_edge_flag_on_band_boundary():
     off_center = np.array([100 - (W // 2) + 1], np.int64)  # hug the band edge
     b, bi, bj, edge = banded_pair_scores(read, path, off_center, width=W)
     assert edge[0]
+
+
+class TestBandedTraceback:
+    """Parity of the banded native traceback (seq_banded_traceback) vs the
+    full-matrix walk, and its gate behavior."""
+
+    def _mutated_pair(self, rng, lr):
+        read = rng.integers(0, 4, size=lr).astype(np.int8)
+        path = read.copy()
+        for _ in range(max(1, int(lr * 0.05))):
+            p = int(rng.integers(0, len(path)))
+            path[p] = rng.integers(0, 4)
+        for _ in range(int(lr * 0.01) + 1):
+            p = int(rng.integers(0, len(path)))
+            if rng.random() < 0.5:
+                path = np.delete(path, p)
+            else:
+                path = np.insert(path, p, np.int8(rng.integers(0, 4)))
+        pre = rng.integers(0, 4, size=int(rng.integers(0, 40))).astype(np.int8)
+        post = rng.integers(0, 4, size=int(rng.integers(0, 40))).astype(np.int8)
+        return read, np.concatenate([pre, path, post]).astype(np.int8)
+
+    def test_banded_matches_full_traceback(self):
+        rng = np.random.default_rng(17)
+        LR, LP = 512, 640
+        checked = 0
+        for _ in range(60):
+            read, path = self._mutated_pair(rng, int(rng.integers(40, 400)))
+            rpad = np.full(LR, seqalign.PAD, np.int8)
+            rpad[:len(read)] = read
+            ppad = np.full(LP, seqalign.PAD, np.int8)
+            ppad[:len(path)] = path
+            best, bi, bj = seqalign.batched_pair_scores(rpad[None], ppad[None])
+            v, ei, ej = int(best[0]), int(bi[0]), int(bj[0])
+            if v <= 0:
+                continue
+            full = seqalign.traceback(read, path, ei, ej)
+            for width in (64, 128):
+                res = seqalign.banded_traceback(read, path, ei, ej,
+                                                ej - ei, width, v)
+                pyres = seqalign._banded_traceback_py(read, path, ei, ej,
+                                                      ej - ei, width, v)
+                # native and numpy oracle agree on success/failure and value
+                if res is None:
+                    assert pyres is None
+                    continue
+                got = (res.score, res.qstart, res.pstart, res.matches, res.nm)
+                assert pyres[:5] == got
+                assert res == full   # gates passed => identical placement
+                checked += 1
+        assert checked >= 60
+
+    def test_gate_wrong_expected_score_falls_back(self):
+        rng = np.random.default_rng(3)
+        read, path = self._mutated_pair(rng, 200)
+        best, bi, bj = seqalign.batched_pair_scores(read[None], path[None])
+        v, ei, ej = int(best[0]), int(bi[0]), int(bj[0])
+        assert v > 0
+        assert seqalign.banded_traceback(read, path, ei, ej, ej - ei,
+                                         128, v + 1) is None
+
+    def test_gate_band_edge_walk_falls_back(self):
+        # a 20-base deletion (gap cost 60 < the 150-match gain, so the
+        # optimum spans it) forces the walk across 20 diagonals — beyond a
+        # 16-wide band centered on the end diagonal: a gate must fire
+        # (never a wrong walk)
+        rng = np.random.default_rng(4)
+        a = rng.integers(0, 4, size=150).astype(np.int8)
+        b = rng.integers(0, 4, size=150).astype(np.int8)
+        junk = rng.integers(0, 4, size=20).astype(np.int8)
+        read = np.concatenate([a, b]).astype(np.int8)
+        path = np.concatenate([a, junk, b]).astype(np.int8)
+        best, bi, bj = seqalign.batched_pair_scores(read[None], path[None])
+        v, ei, ej = int(best[0]), int(bi[0]), int(bj[0])
+        assert v > 0
+        full = seqalign.traceback(read, path, ei, ej)
+        assert sum(n for n, op in full.cigar if op == "D") == 20
+        res = seqalign.banded_traceback(read, path, ei, ej, ej - ei, 16, v)
+        assert res is None
+
+    def test_end_cell_off_band_falls_back(self):
+        read = np.zeros(50, np.int8)
+        path = np.zeros(60, np.int8)
+        # u_end = ej - ei - delta + w2 lands outside [1, width-2]
+        assert seqalign.banded_traceback(read, path, 50, 60, 500, 64, 50) is None
