@@ -189,9 +189,17 @@ def banded_pair_scores(read_codes: np.ndarray, path_codes: np.ndarray,
     when anchors supply the expected diagonal (read pos i aligns near path
     pos i + delta).  ~Lp/width fewer cells than local_forward_pairs;
     results are identical whenever the optimal alignment stays in-band
-    (tests/test_align_banded.py), and out-of-band pairs are detected by
-    the caller via band-edge hits / sub-threshold scores and rescored
-    with the full DP.
+    (tests/test_align_banded.py).  Out-of-band DETECTION is best-effort:
+    the edge flag fires when the best END cell sits on a band-edge lane
+    (callers rescore flagged and sub-threshold pairs with the full DP).
+    Residual risk, documented: an optimal path that leaves the band
+    mid-walk while ENDING at an interior cell is scored lower silently —
+    no cheap per-row detector exists because edge-lane values are
+    dominated by the main alignment's gap-chain leak (best - |GAP| x lane
+    distance; both argmax-at-edge and value-threshold detectors were
+    measured to fire on most strong in-band pairs).  Anchored deltas make
+    the case rare, and the traceback parity gates (banded_traceback) keep
+    every EMITTED placement self-consistent with its score.
 
     Band coordinates: H_band[i][u] = H[i][j], j = i + delta - width//2 + u.
     The diagonal predecessor keeps its lane, 'up' shifts by +1, and the
@@ -234,6 +242,14 @@ def _banded_forward(read_codes, path_codes, deltas, *, width: int):
     strip = jnp.where(ok, jnp.take_along_axis(
         path_codes, jnp.clip(src, 0, lp - 1), axis=1), PAD)
 
+    # NOTE on mid-walk out-of-band detection: none is attempted in this
+    # scan.  Band-edge lane values are dominated by the gap-chain "leak" of
+    # the main in-band alignment (best - |GAP| x lane distance), so any
+    # cheap per-row edge-value/argmax flag either fires on most strong
+    # in-band pairs or detects nothing — measured, not supposed.  The edge
+    # flag below covers only the END cell; residual divergence is
+    # documented in banded_pair_scores and bounded by the caller's
+    # sub-threshold rescoring + the traceback parity gates.
     def row_step(carry, r_chars):
         H, best, bi, bj, bu, i1 = carry          # i1 = current row (1-based)
         # window for row i1 = strip[:, i1-1 : i1-1+width] (pair-uniform slice)
