@@ -295,10 +295,17 @@ def _reject_ending_inside(graph: Graph, path: OrientedPath, v: int,
     trimmed-segment-set rule: if the segment containing end column bj is in
     every touched hit's path, the sets intersect, so it is the same locus
     and no competitor note is needed.  Any other case (potential true
-    multi-mapping) returns False and pays the exact traceback path."""
+    multi-mapping) returns False and pays the exact traceback path.
+
+    The proof only covers single-interval overlap: with an unknown qstart,
+    the entry may ALSO overlap an earlier accepted interval ending before
+    bi, whose competitor (s2) update the shortcut would skip — so when any
+    such interval exists, fall back to the exact path."""
     touched = [h for (a, b), h in zip(accepted, hits) if a < bi <= b]
     if not touched:
         return False
+    if any(b < bi for _, b in accepted):
+        return False  # a second interval could overlap via the qstart side
     seg = None
     for k, off in enumerate(path.offsets):
         if off < bj <= off + path.seg_lens[k]:
