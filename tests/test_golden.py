@@ -115,3 +115,25 @@ def test_standalone_validator(tmp_path):
     (bad / "corrupt.tst").write_text(src.replace("# alignments: 4",
                                                  "# alignments: 5"))
     assert validate.main([str(bad)]) == 1
+
+
+def test_generate_tests_reproduces_reference_tst(tmp_path):
+    """tools/generate_tests.py (reference gfalign-generate-tests equivalent,
+    src/generate-tests.cpp) regenerates all eight .tst files byte-equal to
+    the reference's committed validateFiles/."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "generate_tests",
+        pathlib.Path(__file__).resolve().parent.parent / "tools" / "generate_tests.py")
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    out = tmp_path / "validateFiles"
+    written = gen.generate(str(REFERENCE / "testFiles"), str(out))
+    assert len(written) == 8
+    for i in range(8):
+        ours = (out / f"test.{i}.tst").read_text()
+        theirs = (REFERENCE / "validateFiles" / f"test.{i}.tst").read_text()
+        assert ours == theirs, f"test.{i}.tst differs"
