@@ -298,7 +298,7 @@ def _run_mode(ui, mode, graph, alignments, shard, out) -> int:
             if shard is not None:
                 # exact global duplicate marking (incl. the cross-host
                 # scratch-leak quirk), then psum of the load-time totals
-                alignments.mark_duplicates_distributed()
+                alignments.mark_duplicates_distributed(out)
                 alignments.merge_distributed(dup_counts=False)
             else:
                 alignments.mark_duplicates(out)

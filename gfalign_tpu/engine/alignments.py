@@ -44,15 +44,18 @@ def _shard_keep(shard: Tuple[int, int], shard_by: str, idx: int, qname: str) -> 
     return idx % shard[1] == shard[0]
 
 
-def _dup_stats_walk(qnames: Sequence[str], cols: np.ndarray):
+def _dup_stats_walk(qnames: Sequence[str], cols: np.ndarray,
+                    collect_pairs: bool = False):
     """The reference's markDuplicates + countSupplementary counters over
     bare metadata (no records): qnames must be name-sorted; cols is
     (N, 5) int64 [qStart, qEnd, pLen, pStart, pEnd].  Reproduces the
     scratch-leak (SURVEY.md §4 quirk 8) and the unsigned terminal window.
-    Returns (primary, secondary, supplementary, terminal_supplementary).
-    Equality with AlignmentSet.mark_duplicates is fuzz-tested
-    (tests/test_dist.py)."""
+    Returns (primary, secondary, supplementary, terminal_supplementary)
+    and, with collect_pairs, also the terminal pairs' walk indices in
+    emission order (for distributed -t printing).  Equality with
+    AlignmentSet.mark_duplicates is fuzz-tested (tests/test_dist.py)."""
     primary = secondary = supplementary = terminal = 0
+    pairs: List[Tuple[int, int]] = []
     scratch: List[int] = []
     prev: Optional[str] = None
     n = len(qnames)
@@ -74,11 +77,13 @@ def _dup_stats_walk(qnames: Sequence[str], cols: np.ndarray):
                     if (cols[group[0], 4] >= ((cols[group[0], 2] - 500) % _U32)
                             and cols[group[1], 3] <= 500):
                         terminal += 1
+                        pairs.append((group[0], group[1]))
                 scratch = []
         else:
             primary += 1
             prev = name
-    return primary, secondary, supplementary, terminal
+    counters = (primary, secondary, supplementary, terminal)
+    return (counters + (pairs,)) if collect_pairs else counters
 
 
 def _parse_tagtail(tail: str) -> List[Tuple[str, str, str]]:
@@ -374,7 +379,7 @@ class AlignmentSet:
             return np.array([r.pos for r in self._records], dtype=np.int64)
         return np.arange(self.count, dtype=np.int64)
 
-    def mark_duplicates_distributed(self) -> None:
+    def mark_duplicates_distributed(self, out=None) -> None:
         """EXACT multi-host duplicate/supplementary marking.  Per-host
         marking misses the reference's cross-group scratch leak (SURVEY.md
         §4 quirk 8): singletons ADJACENT IN THE GLOBAL NAME ORDER leak into
@@ -385,8 +390,11 @@ class AlignmentSet:
         name-sorted order (stable by file index), and runs the reference
         walk on the global sequence; all hosts set identical counters.
         Metadata is O(total records) per host (same order as the load
-        itself).  Terminal-supplementary record PRINTING (-t) is not
-        available in this mode (records stay sharded)."""
+        itself).  Terminal-supplementary record PRINTING (-t): the walk
+        collects pair indices from the gathered metadata, then one more
+        allgather ships just those records' printed lines from their
+        owning hosts — every process writes the identical pair lines to
+        `out` in emission order (pass out=None to skip)."""
         from ..parallel.dist import allgather_bytes
 
         cols_local = np.zeros((self.count, 6), dtype=np.int64)
@@ -407,18 +415,52 @@ class AlignmentSet:
                    + qbytes + cols_local.tobytes())
         qnames: List[str] = []
         cols_parts = []
+        part_sizes: List[int] = []
         for part in allgather_bytes(payload):
             n_rec, qlen = struct.unpack_from("<qq", part)
             qnames.extend(part[16:16 + qlen].decode().split("\n")[:n_rec])
             cols_parts.append(
                 np.frombuffer(part[16 + qlen:], np.int64).reshape(-1, 6))
+            part_sizes.append(len(cols_parts[-1]))
         cols = np.concatenate(cols_parts) if cols_parts else np.zeros((0, 6), np.int64)
         assert len(qnames) == len(cols)
         order = sorted(range(len(qnames)),
                        key=lambda i: (qnames[i], int(cols[i, 0])))
         (self.primary, self.secondary, self.supplementary,
-         self.terminal_supplementary) = _dup_stats_walk(
-             [qnames[i] for i in order], cols[order][:, 1:])
+         self.terminal_supplementary, pairs) = _dup_stats_walk(
+             [qnames[i] for i in order], cols[order][:, 1:],
+             collect_pairs=True)
+        if self.terminal_flag and out is not None and pairs:
+            self._print_terminal_pairs_distributed(pairs, order, part_sizes,
+                                                   out)
+
+    def _print_terminal_pairs_distributed(self, pairs, order, part_sizes,
+                                          out) -> None:
+        """Ship just the terminal-pair record lines from their owning hosts
+        (one allgather of '<gathered-row>\\x00<line>' frames), then write
+        them in walk-emission order — identical on every process."""
+        import struct
+
+        from ..parallel.dist import allgather_bytes, process_info
+
+        rank, _ = process_info()
+        offsets = np.concatenate([[0], np.cumsum(part_sizes)])
+        my_lo, my_hi = int(offsets[rank]), int(offsets[rank + 1])
+        wanted = [order[w] for pair in pairs for w in pair]
+        frames = []
+        for g in wanted:
+            if my_lo <= g < my_hi:
+                frames.append(f"{g}\x00{self.line_at(g - my_lo)}")
+        blob = "\x01".join(frames).encode()
+        lines: dict = {}
+        for part in allgather_bytes(struct.pack("<q", len(blob)) + blob):
+            (blen,) = struct.unpack_from("<q", part)
+            text = part[8:8 + blen].decode()
+            for frame in text.split("\x01") if text else []:
+                g, _, line = frame.partition("\x00")
+                lines[int(g)] = line
+        for g in wanted:
+            out.write(lines[g])
 
     # -- stats -----------------------------------------------------------
 

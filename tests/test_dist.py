@@ -264,3 +264,80 @@ print(a.primary, a.secondary, a.supplementary, a.terminal_supplementary)
         errs.append(([p.returncode for p in procs], got, want,
                      [r[1][-500:] for r in results]))
     raise AssertionError(f"exact dup marking failed 5 attempts: {errs}")
+
+
+def test_real_two_process_terminal_pair_printing(tmp_path):
+    """Distributed -t: terminal-supplementary pair LINES print identically
+    to a single-host run — pair records are shipped from their owning
+    hosts by one allgather after the metadata walk."""
+    import os
+    import random
+    import socket
+    import subprocess
+    import sys as _sys
+    import pathlib
+    import io as _io
+
+    from gfalign_tpu.engine.alignments import AlignmentSet
+
+    rng = random.Random(5)
+    lines = _random_gaf_lines(rng, n_names=30)
+    # guaranteed terminal pairs (pEnd at path end, mate pStart at path head)
+    for k in range(4):
+        name = f"t{k:02d}"
+        lines.append(f"{name}\t900\t0\t400\t+\t>n1\t1000\t700\t999\t10\t12\t60")
+        lines.append(f"{name}\t900\t450\t900\t+\t>n2\t1000\t3\t450\t10\t12\t60")
+    random.Random(9).shuffle(lines)
+    gaf = tmp_path / "term.gaf"
+    gaf.write_text("\n".join(lines) + "\n")
+
+    truth = AlignmentSet()
+    truth.load(str(gaf), terminal_flag=True)
+    truth.sort_by_name()
+    buf = _io.StringIO()
+    truth.mark_duplicates(buf)
+    want_pairs = buf.getvalue()
+    assert truth.terminal_supplementary >= 3
+    want = (f"{truth.primary} {truth.secondary} {truth.supplementary} "
+            f"{truth.terminal_supplementary}")
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    worker = tmp_path / "worker.py"
+    worker.write_text(f"""
+import sys, io
+sys.path.insert(0, {str(repo)!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+from gfalign_tpu.engine.alignments import AlignmentSet
+a = AlignmentSet()
+a.load({str(gaf)!r}, terminal_flag=True, shard=(pid, nproc), shard_by="qname")
+a.sort_by_name()
+buf = io.StringIO()
+a.mark_duplicates_distributed(buf)
+a.merge_distributed(dup_counts=False)
+sys.stdout.write(buf.getvalue())
+print("COUNTS", a.primary, a.secondary, a.supplementary, a.terminal_supplementary)
+""")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "GFALIGN_TPU_CACHE": ""}
+    errs = []
+    for attempt in range(5):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        procs = [subprocess.Popen([_sys.executable, str(worker), str(i), "2", port],
+                                  stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                                  text=True, env=env)
+                 for i in range(2)]
+        results = [p.communicate(timeout=120) for p in procs]
+        # Gloo prints connection banners to stdout; drop them before the diff
+        outs = ["".join(ln for ln in r[0].splitlines(keepends=True)
+                        if not ln.startswith("[Gloo]")) for r in results]
+        expected = want_pairs + "COUNTS " + want + "\n"
+        if all(p.returncode == 0 for p in procs) and outs[0] == outs[1] == expected:
+            return
+        errs.append(([p.returncode for p in procs], outs, expected,
+                     [r[1][-500:] for r in results]))
+    raise AssertionError(f"terminal pair printing failed 5 attempts: {errs}")
