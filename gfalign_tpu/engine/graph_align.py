@@ -334,6 +334,7 @@ def _note_competitor(graph: Graph, path: OrientedPath, pl,
 
 SEED_THRESHOLD = 48   # above this many segments, switch to k-mer seeding
 SEED_CHUNK = 32       # reads per seeded scoring batch
+SCORE_CHUNK = 4096    # max pairs per device dispatch (bounds host+HBM use)
 
 
 def align_reads(graph: Graph, reads: Sequence[Tuple[str, str]],
@@ -373,6 +374,12 @@ def _align_seeded(graph: Graph, reads, min_score: int):
         seen = set()
         for anchor, seg_diag in index.anchors_with_diag(
                 encode_seq(seq), max_anchors, audit=audit):
+            # corridor dedup: a long read's own segments all rank as
+            # anchors, and each would re-enumerate the same corridor of
+            # paths; an anchor already inside a kept candidate adds no new
+            # corridor (the DP extends across the whole path anyway)
+            if any(anchor in key for key in cands):
+                continue
             for steps in paths_around_anchor(graph, anchor, len(seq),
                                              max_paths, audit=audit):
                 key = tuple(steps)
@@ -426,15 +433,19 @@ def _align_seeded(graph: Graph, reads, min_score: int):
             buckets[(lr_b, lp_b)].append(n)
         results = {} if results is None else results
         for (lr_b, lp_b), idxs in buckets.items():
-            n_pad = pad_pow2(len(idxs), floor=8)
+          # chunked dispatches: at 10k-read scale a round holds 100k+
+          # pairs; one monolithic (N, lr_b)+(N, lp_b) batch is tens of GB
+          for c0 in range(0, len(idxs), SCORE_CHUNK):
+            chunk = idxs[c0:c0 + SCORE_CHUNK]
+            n_pad = pad_pow2(len(chunk), floor=8)
             rc = np.full((n_pad, lr_b), seqalign.PAD, np.int8)
             pc = np.full((n_pad, lp_b), seqalign.PAD, np.int8)
-            for slot, n in enumerate(idxs):
+            for slot, n in enumerate(chunk):
                 r, key = pairs[n]
                 rc[slot, :len(work[r])] = work[r]
                 pc[slot, :len(code_cache[key])] = code_cache[key]
             best, bi, bj = seqalign.batched_pair_scores(rc, pc)
-            for slot, n in enumerate(idxs):
+            for slot, n in enumerate(chunk):
                 # False: scored by the full DP -> traceback must be full too
                 results[n] = (int(best[slot]), int(bi[slot]), int(bj[slot]),
                               False)
@@ -454,24 +465,28 @@ def _align_seeded(graph: Graph, reads, min_score: int):
             return score_pairs_full(pairs)
         lr_b = pad_pow2(max(len(work[r]) for r, _ in pairs), floor=16)
         lp_b = pad_pow2(max(len(code_cache[k]) for _, k in pairs), floor=16)
-        n_pad = pad_pow2(len(pairs), floor=8)
-        rc = np.full((n_pad, lr_b), seqalign.PAD, np.int8)
-        pc = np.full((n_pad, lp_b), seqalign.PAD, np.int8)
-        dl = np.zeros((n_pad,), np.int64)
-        for n, (r, key) in enumerate(pairs):
-            rc[n, :len(work[r])] = work[r]
-            pc[n, :len(code_cache[key])] = code_cache[key]
-            dl[n] = deltas[n]
-        best, bi, bj, edge = seqalign.banded_pair_scores(rc, pc, dl,
-                                                         width=BAND)
         results: Dict[int, Tuple[int, int, int, bool]] = {}
         redo = []
-        for n in range(len(pairs)):
-            if edge[n] or best[n] < min_score:
-                redo.append(n)
-            else:
-                # True: banded-scored -> banded traceback eligible
-                results[n] = (int(best[n]), int(bi[n]), int(bj[n]), True)
+        for c0 in range(0, len(pairs), SCORE_CHUNK):  # bounded dispatches
+            chunk = list(range(c0, min(c0 + SCORE_CHUNK, len(pairs))))
+            n_pad = pad_pow2(len(chunk), floor=8)
+            rc = np.full((n_pad, lr_b), seqalign.PAD, np.int8)
+            pc = np.full((n_pad, lp_b), seqalign.PAD, np.int8)
+            dl = np.zeros((n_pad,), np.int64)
+            for slot, n in enumerate(chunk):
+                r, key = pairs[n]
+                rc[slot, :len(work[r])] = work[r]
+                pc[slot, :len(code_cache[key])] = code_cache[key]
+                dl[slot] = deltas[n]
+            best, bi, bj, edge = seqalign.banded_pair_scores(rc, pc, dl,
+                                                             width=BAND)
+            for slot, n in enumerate(chunk):
+                if edge[slot] or best[slot] < min_score:
+                    redo.append(n)
+                else:
+                    # True: banded-scored -> banded traceback eligible
+                    results[n] = (int(best[slot]), int(bi[slot]),
+                                  int(bj[slot]), True)
         if redo:
             sub = score_pairs_full([pairs[n] for n in redo])
             for slot, n in enumerate(redo):
