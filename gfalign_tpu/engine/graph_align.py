@@ -446,12 +446,13 @@ def _align_seeded(graph: Graph, reads, min_score: int):
                 pc[slot, :len(code_cache[key])] = code_cache[key]
             best, bi, bj = seqalign.batched_pair_scores(rc, pc)
             for slot, n in enumerate(chunk):
-                # False: scored by the full DP -> traceback must be full too
+                # 0: scored by the full DP -> traceback must be full too
                 results[n] = (int(best[slot]), int(bi[slot]), int(bj[slot]),
-                              False)
+                              0)
         return results
 
     BAND = 128
+    WIDE_BAND = 512
 
     def score_pairs(pairs):
         """Banded-first scoring: anchors supply the expected diagonal, so
@@ -463,30 +464,44 @@ def _align_seeded(graph: Graph, reads, min_score: int):
         deltas = [cand_deltas.get(p) for p in pairs]
         if any(d is None for d in deltas):
             return score_pairs_full(pairs)
-        lr_b = pad_pow2(max(len(work[r]) for r, _ in pairs), floor=16)
-        lp_b = pad_pow2(max(len(code_cache[k]) for _, k in pairs), floor=16)
-        results: Dict[int, Tuple[int, int, int, bool]] = {}
-        redo = []
-        for c0 in range(0, len(pairs), SCORE_CHUNK):  # bounded dispatches
-            chunk = list(range(c0, min(c0 + SCORE_CHUNK, len(pairs))))
-            n_pad = pad_pow2(len(chunk), floor=8)
-            rc = np.full((n_pad, lr_b), seqalign.PAD, np.int8)
-            pc = np.full((n_pad, lp_b), seqalign.PAD, np.int8)
-            dl = np.zeros((n_pad,), np.int64)
-            for slot, n in enumerate(chunk):
-                r, key = pairs[n]
-                rc[slot, :len(work[r])] = work[r]
-                pc[slot, :len(code_cache[key])] = code_cache[key]
-                dl[slot] = deltas[n]
-            best, bi, bj, edge = seqalign.banded_pair_scores(rc, pc, dl,
-                                                             width=BAND)
-            for slot, n in enumerate(chunk):
-                if edge[slot] or best[slot] < min_score:
-                    redo.append(n)
-                else:
-                    # True: banded-scored -> banded traceback eligible
-                    results[n] = (int(best[slot]), int(bi[slot]),
-                                  int(bj[slot]), True)
+
+        def banded_round(idx_list, width, results):
+            """Banded-score pairs[n] for n in idx_list at `width`; returns
+            the indices still needing a wider band / full DP."""
+            lr_b = pad_pow2(max(len(work[pairs[n][0]]) for n in idx_list),
+                            floor=16)
+            lp_b = pad_pow2(max(len(code_cache[pairs[n][1]]) for n in idx_list),
+                            floor=16)
+            redo = []
+            for c0 in range(0, len(idx_list), SCORE_CHUNK):  # bounded dispatch
+                chunk = idx_list[c0:c0 + SCORE_CHUNK]
+                n_pad = pad_pow2(len(chunk), floor=8)
+                rc = np.full((n_pad, lr_b), seqalign.PAD, np.int8)
+                pc = np.full((n_pad, lp_b), seqalign.PAD, np.int8)
+                dl = np.zeros((n_pad,), np.int64)
+                for slot, n in enumerate(chunk):
+                    r, key = pairs[n]
+                    rc[slot, :len(work[r])] = work[r]
+                    pc[slot, :len(code_cache[key])] = code_cache[key]
+                    dl[slot] = deltas[n]
+                best, bi, bj, edge = seqalign.banded_pair_scores(rc, pc, dl,
+                                                                 width=width)
+                for slot, n in enumerate(chunk):
+                    if edge[slot] or best[slot] < min_score:
+                        redo.append(n)
+                    else:
+                        # width > 0: banded traceback eligible at this width
+                        results[n] = (int(best[slot]), int(bi[slot]),
+                                      int(bj[slot]), width)
+            return redo
+
+        results: Dict[int, Tuple[int, int, int, int]] = {}
+        redo = banded_round(list(range(len(pairs))), BAND, results)
+        if redo:
+            # widen before paying the full DP: band misses are usually small
+            # diagonal drift, and full-DP at read-scale shapes costs ~100x
+            # the cells (and the largest buckets crash the TPU worker)
+            redo = banded_round(redo, WIDE_BAND, results)
         if redo:
             sub = score_pairs_full([pairs[n] for n in redo])
             for slot, n in enumerate(redo):
@@ -517,13 +532,13 @@ def _align_seeded(graph: Graph, reads, min_score: int):
                                          accepted[r], all_hits[r]):
                     continue
                 pl = None
-                if banded:
-                    # banded traceback (O(Lr x BAND)); parity-gated — None
+                if banded:  # band width used by the scorer (0 = full DP)
+                    # banded traceback (O(Lr x band)); parity-gated — None
                     # falls through to the exact full-matrix walk
                     delta = cand_deltas.get((r, key))
                     if delta is not None:
                         pl = seqalign.banded_traceback(
-                            rcodes, code_cache[key], bi, bj, delta, BAND, v)
+                            rcodes, code_cache[key], bi, bj, delta, banded, v)
                 if pl is None:
                     pl = seqalign.traceback(rcodes, code_cache[key], bi, bj)
                 if pl.score < min_score:

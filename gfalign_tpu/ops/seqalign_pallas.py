@@ -46,6 +46,11 @@ def _vmem_estimate(lr: int, lp: int) -> int:
 
 
 def shapes_fit(lr: int, lp: int) -> bool:
+    # hard area ceiling: (8192, 16384) crashes the TPU worker outright
+    # (kernel fault during compile/run, measured on v5e) even though the
+    # vmem estimate passes; (4096, 8192) is the largest proven-good shape
+    if lr * lp > 4096 * 8192:
+        return False
     return _vmem_estimate(lr, lp) <= int(VMEM_LIMIT * 0.9)
 
 
