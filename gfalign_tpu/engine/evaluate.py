@@ -162,21 +162,70 @@ def evaluate_path_printing(candidate: Sequence[Step],
                            out) -> PathScore:
     """Single-candidate scoring that also prints each read's best alignment
     (reference evalPath mode, src/eval.cpp:100-105): the read row of the
-    pairwise alignment, then qName and best score, tab-separated."""
+    pairwise alignment, then qName and best score, tab-separated.
+
+    Per-read work dispatches to the native C++ walk (nw_path_traceback,
+    ~100x the Python oracle's row loop); the oracle remains the fallback
+    and the equality test (tests/test_nw.py)."""
+    from ..io import native
+
     result = PathScore()
     cand = [Step(s[0], s[1]) for s in candidate]
+    a_keys = np.array([s.id * 4 + ORIENT_CODE[s.orientation] for s in cand],
+                      np.int64)
+
+    def _keys(path):
+        return np.array([s.id * 4 + ORIENT_CODE[s.orientation] for s in path],
+                        np.int64)
+
+    native_ok = native.available()
     for rp, qname in zip(read_paths, read_names):
         rp = [Step(s[0], s[1]) for s in rp]
-        fw = nw_align_oracle(cand, rp)
-        rc = nw_align_oracle(cand, revcomp_path(rp))
-        best = fw if fw.score > rc.score else rc  # tie -> rc, like the reference
-        if best.score < 0:
+        rcp = revcomp_path(rp)
+        if native_ok:
+            fw = native.nw_path_walk(a_keys, _keys(rp))
+            rc = native.nw_path_walk(a_keys, _keys(rcp))
+        else:
+            fw = rc = None
+        if fw is None or rc is None:
+            afw = nw_align_oracle(cand, rp)
+            arc = nw_align_oracle(cand, rcp)
+            best = afw if afw.score > arc.score else arc  # tie -> rc
+            line = _alignment_string(best.a, best.b, id_to_name)
+            score = best.score
+        else:
+            (score, ops), b = (fw, rp) if fw[0] > rc[0] else (rc, rcp)
+            line = _alignment_string_from_ops(cand, b, ops, id_to_name)
+        if score < 0:
             result.bad += 1
         else:
             result.good += 1
-        out.write(_alignment_string(best.a, best.b, id_to_name)
-                  + "\t" + qname + "\t" + str(best.score) + "\n")
+        out.write(line + "\t" + qname + "\t" + str(score) + "\n")
     return result
+
+
+def _alignment_string_from_ops(cand: Sequence[Step], b: Sequence[Step],
+                               ops: str, id_to_name) -> str:
+    """Rebuild _alignment_string's read row from the native walk's move
+    ops ('M' diagonal, 'U' cand-step/read-gap, 'L' read-step/cand-gap)."""
+    parts = []
+    ia = ib = 0
+    for op in ops:
+        if op == "U":
+            parts.append("-" * (len(id_to_name(cand[ia].id)) + 1) + ",")
+            ia += 1
+        elif op == "M":
+            sb = b[ib]
+            if cand[ia] == sb:
+                parts.append("." * (len(id_to_name(sb.id)) + 1) + ",")
+            else:
+                parts.append(id_to_name(sb.id) + sb.orientation + ",")
+            ia += 1
+            ib += 1
+        else:  # 'L'
+            parts.append(id_to_name(b[ib].id) + b[ib].orientation + ",")
+            ib += 1
+    return "".join(parts)
 
 
 def _alignment_string(a: List[Step], b: List[Step], id_to_name) -> str:

@@ -108,6 +108,12 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p, ctypes.c_int64]
+    lib.nw_path_traceback.restype = ctypes.c_int64
+    lib.nw_path_traceback.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_int64]
     lib.seq_banded_traceback.restype = ctypes.c_int64
     lib.seq_banded_traceback.argtypes = [
         ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
@@ -238,6 +244,28 @@ def local_traceback(read_codes: np.ndarray, path_codes: np.ndarray,
         return None
     return (int(out5[0]), int(out5[1]), int(out5[2]), int(out5[3]),
             int(out5[4]), ops.raw[:n_ops].decode())
+
+
+def nw_path_walk(a_keys: np.ndarray, b_keys: np.ndarray,
+                 match: int = 0, mismatch: int = -1, gap: int = -1):
+    """(walk-recomputed score, ops string) for the path-space NW alignment
+    (reference src/alignments.cpp:499-554 semantics; ops 'M'/'U'/'L'), or
+    None without the native library."""
+    lib = _load()
+    if lib is None:
+        return None
+    ak = np.ascontiguousarray(a_keys, dtype=np.int64)
+    bk = np.ascontiguousarray(b_keys, dtype=np.int64)
+    ops_cap = len(ak) + len(bk) + 2
+    ops = ctypes.create_string_buffer(ops_cap)
+    score = ctypes.c_int64()
+    n_ops = lib.nw_path_traceback(
+        ak.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(ak),
+        bk.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(bk),
+        match, mismatch, gap, ctypes.byref(score), ops, ops_cap)
+    if n_ops < 0:
+        return None
+    return int(score.value), ops.raw[:n_ops].decode()
 
 
 def banded_local_traceback(read_codes: np.ndarray, path_codes: np.ndarray,

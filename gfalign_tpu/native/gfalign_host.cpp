@@ -377,6 +377,69 @@ int64_t seq_local_traceback(const int8_t* read, int64_t lr, const int8_t* path,
   return n_ops;
 }
 
+// Path-space Needleman-Wunsch with the reference's traceback-recomputed
+// score (src/alignments.cpp:499-554 semantics, as transcribed in
+// ops/nw_path.nw_align_oracle): row-0 extent runs over n (not m), vertical
+// moves are free in the read's last column, and the returned score is the
+// one the WALK recomputes (match adds s; 'U' subtracts 1 only once a read
+// step has been consumed; 'L' always subtracts 1).  Emits the move ops
+// ('M' diagonal, 'U' a-step/b-gap, 'L' b-step/a-gap) start->end so the
+// caller can rebuild the printed alignment row without a Python DP.
+// Returns n_ops, or -1 on bad input / cap overflow.
+int64_t nw_path_traceback(const int64_t* a_keys, int64_t n,
+                          const int64_t* b_keys, int64_t m,
+                          int32_t match, int32_t mismatch, int32_t gap,
+                          int64_t* out_score, char* ops, int64_t ops_cap) {
+  if (n < 0 || m < 0) return -1;
+  const int64_t W = (n > m ? n : m) + 1;
+  std::vector<int64_t> dp(static_cast<size_t>(n + 1) * W, 0);
+  for (int64_t j = 0; j <= n; j++) dp[j] = j * gap;  // row-0 extent quirk
+  for (int64_t i = 1; i <= n; i++) {
+    const int64_t ak = a_keys[i - 1];
+    const int64_t* prev = dp.data() + (i - 1) * W;
+    int64_t* cur = dp.data() + i * W;
+    for (int64_t j = 1; j <= m; j++) {
+      const int64_t s = (ak == b_keys[j - 1]) ? match : mismatch;
+      int64_t v = prev[j - 1] + s;
+      const int64_t up = prev[j] + (j < m ? gap : 0);
+      if (up > v) v = up;
+      const int64_t left = cur[j - 1] + gap;
+      if (left > v) v = left;
+      cur[j] = v;
+    }
+  }
+  // walk-recomputed score, exactly the oracle's: border moves (ii==0 or
+  // jj==0) are FREE; interior 'U' costs 1 only once a read step has been
+  // consumed (sblen > 0); interior 'L' always costs 1 (the oracle
+  // hardcodes -1 regardless of the gap parameter)
+  int64_t ii = n, jj = m, score = 0, sblen = 0, n_ops = 0;
+  while (ii != 0 || jj != 0) {
+    char op;
+    if (ii == 0) {
+      op = 'L'; jj--;
+    } else if (jj == 0) {
+      op = 'U'; ii--;
+    } else {
+      const int64_t s = (a_keys[ii - 1] == b_keys[jj - 1]) ? match : mismatch;
+      if (dp[ii * W + jj] == dp[(ii - 1) * W + (jj - 1)] + s) {
+        op = 'M'; score += s; sblen++; ii--; jj--;
+      } else if (dp[(ii - 1) * W + jj] >= dp[ii * W + (jj - 1)]) {
+        op = 'U'; ii--;
+        if (sblen > 0) score -= 1;
+      } else {
+        op = 'L'; score -= 1; sblen++; jj--;
+      }
+    }
+    if (n_ops >= ops_cap) return -1;
+    ops[n_ops++] = op;
+  }
+  for (int64_t a = 0, b = n_ops - 1; a < b; a++, b--) {
+    char t = ops[a]; ops[a] = ops[b]; ops[b] = t;
+  }
+  *out_score = score;
+  return n_ops;
+}
+
 // Banded variant of seq_local_traceback: recompute only the band
 // H[i][j], j = i + delta - width/2 + u (the same band ops/seqalign.py's
 // _banded_forward scored on device), then walk back from (end_i, end_j).

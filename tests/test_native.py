@@ -112,3 +112,32 @@ def test_stale_library_degrades_gracefully(tmp_path, monkeypatch):
     assert native.parse_gaf("/nonexistent") is None
     assert native.local_traceback(
         np.zeros(1, np.int8), np.zeros(1, np.int8), 0, 0, 1, -1, -1, 5, 4) is None
+
+
+def test_nw_path_walk_matches_oracle():
+    """Native nw_path_traceback == nw_align_oracle: identical
+    walk-recomputed score and identical printed alignment row."""
+    import random
+
+    from gfalign_tpu.engine.evaluate import (_alignment_string,
+                                             _alignment_string_from_ops)
+    from gfalign_tpu.ops.nw_path import ORIENT_CODE, Step, nw_align_oracle
+
+    rng = random.Random(2)
+    id2n = lambda i: f"s{i}"
+    for trial in range(200):
+        n, m = rng.randrange(1, 30), rng.randrange(1, 30)
+        a = [Step(rng.randrange(6), rng.choice("+-")) for _ in range(n)]
+        b = [Step(rng.randrange(6), rng.choice("+-")) for _ in range(m)]
+        if trial % 2:
+            b = list(a[:m]) or b
+            for k in range(len(b)):
+                if rng.random() < 0.2:
+                    b[k] = Step(rng.randrange(6), rng.choice("+-"))
+        oracle = nw_align_oracle(a, b)
+        ak = np.array([s.id * 4 + ORIENT_CODE[s.orientation] for s in a], np.int64)
+        bk = np.array([s.id * 4 + ORIENT_CODE[s.orientation] for s in b], np.int64)
+        score, ops = native.nw_path_walk(ak, bk)
+        assert score == oracle.score
+        assert (_alignment_string_from_ops(a, b, ops, id2n)
+                == _alignment_string(oracle.a, oracle.b, id2n))
