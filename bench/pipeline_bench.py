@@ -48,23 +48,33 @@ def _run_cli(argv, capture=False):
     return rc, buf.getvalue()
 
 
-def check_truth(gaf_path: str, truth) -> float:
-    """Fraction of reads whose best (first) record's path intersects the
-    sampled walk."""
+def check_truth(gaf_path: str, truth) -> dict:
+    """Truth metrics: fraction of reads whose best (first) record's path
+    intersects the sampled walk, plus the mapq profile of best records
+    (unique placements should sit near the 60 cap; bubbles create the only
+    genuine multi-mappings in this workload)."""
     best: dict = {}
+    mapqs = []
     with open(gaf_path) as fh:
         for line in fh:
             cols = line.rstrip("\n").split("\t")
             if len(cols) < 12 or cols[0] in best:
                 continue
             best[cols[0]] = set(_SEG_RE.findall(cols[5]))
+            mapqs.append(int(cols[11]))
     by_name = {t.name: t for t in truth}
     ok = 0
     for name, segs in best.items():
         t = by_name.get(name)
         if t and segs & set(t.walk):
             ok += 1
-    return ok / max(1, len(truth))
+    mapqs.sort()
+    n = len(mapqs)
+    return {
+        "truth_frac": round(ok / max(1, len(truth)), 4),
+        "mapq_median": mapqs[n // 2] if n else None,
+        "mapq_ge30_frac": round(sum(q >= 30 for q in mapqs) / n, 4) if n else None,
+    }
 
 
 def run_pipeline(out_dir: str, seed: int, n_segments: int, n_reads: int,
@@ -91,7 +101,7 @@ def run_pipeline(out_dir: str, seed: int, n_segments: int, n_reads: int,
     res["align_s"] = round(dt, 2)
     res["align_reads_per_s"] = round(n_reads / dt, 2)
     res["gaf_records"] = sum(1 for _ in open(gaf))
-    res["truth_frac"] = round(check_truth(gaf, wl.truth), 4)
+    res.update(check_truth(gaf, wl.truth))
 
     t0 = time.perf_counter()
     _rc, stats_out = _run_cli(["evalGFA", "-g", gaf], capture=True)

@@ -465,14 +465,20 @@ def _align_seeded(graph: Graph, reads, min_score: int):
         if any(d is None for d in deltas):
             return score_pairs_full(pairs)
 
-        def banded_round(idx_list, width, results):
-            """Banded-score pairs[n] for n in idx_list at `width`; returns
-            the indices still needing a wider band / full DP."""
+        def banded_round(idx_list, width, results, keep_low=False,
+                         keep_edge=False):
+            """Banded-score pairs[n] for n in idx_list at `width`; stores
+            accepted results and returns (edge_flagged, sub_threshold)
+            index lists for the next ladder rung.  keep_low/keep_edge make
+            this the terminal rung for that class — sub-threshold pairs
+            are rejected by the placement loop anyway, and edge-flagged
+            ones fail the traceback parity gates into the exact host
+            walk."""
             lr_b = pad_pow2(max(len(work[pairs[n][0]]) for n in idx_list),
                             floor=16)
             lp_b = pad_pow2(max(len(code_cache[pairs[n][1]]) for n in idx_list),
                             floor=16)
-            redo = []
+            redo_edge, redo_low = [], []
             for c0 in range(0, len(idx_list), SCORE_CHUNK):  # bounded dispatch
                 chunk = idx_list[c0:c0 + SCORE_CHUNK]
                 n_pad = pad_pow2(len(chunk), floor=8)
@@ -487,25 +493,45 @@ def _align_seeded(graph: Graph, reads, min_score: int):
                 best, bi, bj, edge = seqalign.banded_pair_scores(rc, pc, dl,
                                                                  width=width)
                 for slot, n in enumerate(chunk):
-                    if edge[slot] or best[slot] < min_score:
-                        redo.append(n)
+                    if edge[slot] and not keep_edge:
+                        redo_edge.append(n)
+                    elif best[slot] < min_score and not keep_low:
+                        redo_low.append(n)
                     else:
                         # width > 0: banded traceback eligible at this width
                         results[n] = (int(best[slot]), int(bi[slot]),
                                       int(bj[slot]), width)
-            return redo
+            return redo_edge, redo_low
 
         results: Dict[int, Tuple[int, int, int, int]] = {}
-        redo = banded_round(list(range(len(pairs))), BAND, results)
+        e1, l1 = banded_round(list(range(len(pairs))), BAND, results)
+        redo = e1 + l1
         if redo:
-            # widen before paying the full DP: band misses are usually small
-            # diagonal drift, and full-DP at read-scale shapes costs ~100x
-            # the cells (and the largest buckets crash the TPU worker)
-            redo = banded_round(redo, WIDE_BAND, results)
+            # one widening for everything: band misses are usually small
+            # diagonal drift.  Sub-threshold pairs that stay weak in the
+            # 4x band are genuinely weak (rescoring them at full width is
+            # what used to build worker-crashing full-DP batches in later
+            # placement rounds, where masked reads score low everywhere).
+            redo, _ = banded_round(redo, WIDE_BAND, results, keep_low=True)
         if redo:
-            sub = score_pairs_full([pairs[n] for n in redo])
-            for slot, n in enumerate(redo):
-                results[n] = sub[slot]
+            # only band-EDGE survivors ride further: their optimum may
+            # genuinely continue outside the band
+            lr_b = pad_pow2(max(len(work[pairs[n][0]]) for n in redo), floor=16)
+            lp_b = pad_pow2(max(len(code_cache[pairs[n][1]]) for n in redo),
+                            floor=16)
+            if lr_b * lp_b <= 4096 * 8192:
+                sub = score_pairs_full([pairs[n] for n in redo])
+                for slot, n in enumerate(redo):
+                    results[n] = sub[slot]
+            else:
+                # full DP at these shapes crashes the TPU worker (see
+                # ops/seqalign_pallas.shapes_fit); terminal rung: a 2048-wide
+                # anchored band, accepted as-is.  A placement needing more
+                # drift than that around its anchor diagonal is effectively
+                # unplaceable by this candidate — the min_score filter and
+                # the traceback parity gates keep anything emitted honest.
+                banded_round(redo, 4 * WIDE_BAND, results, keep_low=True,
+                             keep_edge=True)
         return results
 
     def placement_rounds(active: List[int]) -> None:
