@@ -108,3 +108,40 @@ def test_pallas_kernel_interpret_matches_xla():
     got = np.asarray(nw_pair_scores_pallas(a_keys, a_len, b_keys, b_len,
                                            interpret=True))
     np.testing.assert_array_equal(ref, got)
+
+
+def test_pallas_packed_kernel_matches_unpacked():
+    """The packed-carry kernel (dp | prio | exit-column in one int32) is
+    bit-exact vs the unpacked kernel and the XLA scorer, including the
+    free-last-column priority flip and padding lanes (interpret mode)."""
+    from gfalign_tpu.ops import nw_pallas
+    from gfalign_tpu.ops.nw_path import nw_best_scores
+
+    rng = np.random.default_rng(11)
+    C, n, R, m = 8, 24, 128, 16
+    a_keys = (rng.integers(0, 10, (C, n)) * 4
+              + rng.integers(0, 2, (C, n))).astype(np.int32)
+    a_len = rng.integers(0, n + 1, (C,)).astype(np.int32)
+    for c in range(C):
+        a_keys[c, a_len[c]:] = -1
+    b_keys = (rng.integers(0, 10, (R, m)) * 4
+              + rng.integers(0, 2, (R, m))).astype(np.int32)
+    b_len = rng.integers(0, m + 1, (R,)).astype(np.int32)
+    for r in range(R):
+        b_keys[r, b_len[r]:] = -2
+    want = np.asarray(nw_best_scores(a_keys, a_len, b_keys, b_len))
+    for packed in (False, True):
+        nw_pallas._build_pallas_forward.cache_clear()
+        fwd_builder = nw_pallas._build_pallas_forward
+        import functools as _ft
+        orig = fwd_builder.__wrapped__
+        got = None
+        try:
+            nw_pallas._build_pallas_forward = _ft.lru_cache(maxsize=None)(
+                lambda nn, mm, interpret=False, _p=packed: orig(
+                    nn, mm, interpret, packed=_p))
+            got = np.asarray(nw_pallas.nw_best_scores_pallas(
+                a_keys, a_len, b_keys, b_len, interpret=True))
+        finally:
+            nw_pallas._build_pallas_forward = fwd_builder
+        assert np.array_equal(want, got), f"packed={packed}"
