@@ -92,9 +92,9 @@ def main() -> None:
     ap.add_argument("--workdir", type=str, default=str(ROOT / "bench" / ".scaling"))
     args = ap.parse_args()
 
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
+    # prep (align + filter) runs on the default backend (TPU when
+    # available); the scaling measurement itself runs in CPU-forced
+    # subprocesses
     from gfalign_tpu.cli.main import main as cli_main
     from gfalign_tpu.synth import make_workload, write_workload
 
