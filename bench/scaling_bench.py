@@ -47,40 +47,59 @@ graph = read_gfa({gfa!r})
 aln = AlignmentSet()
 shard = (pid, nproc) if nproc > 1 else None
 aln.load({gaf!r}, shard=shard, shard_by="qname")
-evaluate_fn = None
 out = io.StringIO()
 if nproc > 1:
     from gfalign_tpu.engine.evaluate import distributed_evaluator
-    evaluate_fn = distributed_evaluator()
+    base_fn = distributed_evaluator()
+else:
+    from gfalign_tpu.engine.evaluate import evaluate_candidates as base_fn
+eval_s = [0.0]
+def evaluate_fn(*a, **kw):
+    t = time.perf_counter()
+    try:
+        return base_fn(*a, **kw)
+    finally:
+        eval_s[0] += time.perf_counter() - t
 t0 = time.perf_counter()
 search(graph, aln, {nodelist!r}, {source!r}, {dest!r},
        max_steps={max_steps}, out=out, evaluate_fn=evaluate_fn)
 dt = time.perf_counter() - t0
+import hashlib
 print("RESULT", dt)
-print("HASH", hash(out.getvalue()), len(out.getvalue()))
+print("EVAL", eval_s[0])
+print("HASH", hashlib.sha256(out.getvalue().encode()).hexdigest(),
+      len(out.getvalue()))
 """
 
 
-def run_procs(n: int, script: pathlib.Path) -> tuple:
+def run_procs(n: int, script: pathlib.Path, pin: bool = True) -> tuple:
+    """Launch n workers; with pin, each is taskset to its own core so the
+    1-proc and N-proc configurations use the same per-process resources
+    (unpinned single-process XLA already saturates every core, which would
+    make strong scaling unmeasurable on a 2-vCPU box)."""
     env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    n_cores = os.cpu_count() or 1
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = str(s.getsockname()[1])
-    procs = [subprocess.Popen([sys.executable, str(script), str(i), str(n), port],
-                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                              text=True, env=env)
+    procs = [subprocess.Popen(
+        (["taskset", "-c", str(i % n_cores)] if pin else [])
+        + [sys.executable, str(script), str(i), str(n), port],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
              for i in range(n)]
     outs = [p.communicate(timeout=3600) for p in procs]
     assert all(p.returncode == 0 for p in procs), [o[1][-800:] for o in outs]
-    times, hashes = [], []
+    times, evals, hashes = [], [], []
     for out, _ in outs:
         for ln in out.splitlines():
             if ln.startswith("RESULT"):
                 times.append(float(ln.split()[1]))
+            if ln.startswith("EVAL"):
+                evals.append(float(ln.split()[1]))
             if ln.startswith("HASH"):
                 hashes.append(ln.split()[1:])
     assert len(set(map(tuple, hashes))) == 1, "processes disagree on output"
-    return max(times), hashes[0]
+    return max(times), max(evals), hashes[0]
 
 
 def main() -> None:
@@ -90,6 +109,15 @@ def main() -> None:
     ap.add_argument("--max-steps", type=int, default=2000)
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--workdir", type=str, default=str(ROOT / "bench" / ".scaling"))
+    ap.add_argument("--reuse", type=str, default=None,
+                    help="existing workload dir with graph.gfa + align.gaf "
+                         "+ search_nodelist.tsv (skips generation + align)")
+    ap.add_argument("--truth-gaf", action="store_true",
+                    help="synthesize the GAF from truth walks with deep "
+                         "tangle coverage (no aligner in the loop)")
+    ap.add_argument("--no-filter", action="store_true",
+                    help="search against the FULL aligned read set — "
+                         "compute-dominated configuration")
     args = ap.parse_args()
 
     # prep (align + filter) runs on the default backend (TPU when
@@ -98,22 +126,59 @@ def main() -> None:
     from gfalign_tpu.cli.main import main as cli_main
     from gfalign_tpu.synth import make_workload, write_workload
 
-    wl = make_workload(seed=1, n_segments=args.segments, n_reads=args.reads,
-                       tangle_k=8, read_len=(1000, 4000))
-    paths = write_workload(wl, args.workdir)
-    gaf = os.path.join(args.workdir, "align.gaf")
-    filtered = os.path.join(args.workdir, "tangle.gaf")
-    t0 = time.perf_counter()
-    import io as _io
-    old = sys.stdout
-    try:
-        sys.stdout = _io.StringIO()
-        cli_main(["align", "-f", paths["gfa"], "-r", paths["reads"], "-o", gaf])
-        cli_main(["filter", "-g", gaf, "-n", paths["filter_nodelist"],
-                  "-o", filtered])
-    finally:
-        sys.stdout = old
-    prep_s = time.perf_counter() - t0
+    if args.truth_gaf:
+        # deep-coverage tangle workload, GAF synthesized from truth walks
+        # (no aligner in the loop): thousands of in-tangle reads make the
+        # sharded scoring term dominate the fixed per-frontier costs
+        wl = make_workload(seed=1, n_segments=args.segments,
+                           n_reads=args.reads, tangle_k=8,
+                           read_len=(800, 2500), tangle_read_frac=0.7)
+        paths = write_workload(wl, args.workdir)
+        from gfalign_tpu.synth import write_truth_gaf
+        gaf = os.path.join(args.workdir, "truth.gaf")
+        write_truth_gaf(wl, gaf)
+        filtered = os.path.join(args.workdir, "tangle.gaf")
+        import io as _io
+        old = sys.stdout
+        t0 = time.perf_counter()
+        try:
+            sys.stdout = _io.StringIO()
+            cli_main(["filter", "-g", gaf, "-n", paths["filter_nodelist"],
+                      "-o", filtered])
+        finally:
+            sys.stdout = old
+        prep_s = time.perf_counter() - t0
+    elif args.reuse:
+        d = args.reuse
+        wl = make_workload(seed=1, n_segments=args.segments, n_reads=0,
+                           tangle_k=8)  # regenerate tangle metadata only
+        paths = {"gfa": os.path.join(d, "graph.gfa"),
+                 "search_nodelist": os.path.join(d, "search_nodelist.tsv"),
+                 "filter_nodelist": os.path.join(d, "filter_nodelist.ls")}
+        gaf = os.path.join(d, "align.gaf")
+        filtered = os.path.join(d, "tangle.gaf")
+        prep_s = 0.0
+    else:
+        wl = make_workload(seed=1, n_segments=args.segments,
+                           n_reads=args.reads, tangle_k=8,
+                           read_len=(1000, 4000))
+        paths = write_workload(wl, args.workdir)
+        gaf = os.path.join(args.workdir, "align.gaf")
+        filtered = os.path.join(args.workdir, "tangle.gaf")
+        t0 = time.perf_counter()
+        import io as _io
+        old = sys.stdout
+        try:
+            sys.stdout = _io.StringIO()
+            cli_main(["align", "-f", paths["gfa"], "-r", paths["reads"],
+                      "-o", gaf])
+            cli_main(["filter", "-g", gaf, "-n", paths["filter_nodelist"],
+                      "-o", filtered])
+        finally:
+            sys.stdout = old
+        prep_s = time.perf_counter() - t0
+    if args.no_filter:
+        filtered = gaf
 
     script = pathlib.Path(args.workdir) / "worker.py"
     script.write_text(WORKER.format(
@@ -121,16 +186,24 @@ def main() -> None:
         nodelist=paths["search_nodelist"], source=wl.source,
         dest=wl.destination, max_steps=args.max_steps))
 
-    t1, h1 = run_procs(1, script)
-    tn, hn = run_procs(args.procs, script)
-    assert h1 == hn, "distributed output differs from single-process"
-    eff = t1 / (args.procs * tn)
+    t1, e1, h1 = run_procs(1, script)             # 1 proc, 1 core
+    tn, en, hn = run_procs(args.procs, script)    # N procs, 1 core each
+    t1_free, _, h1f = run_procs(1, script, pin=False)  # 1 proc, all cores
+    assert h1 == hn == h1f, "distributed output differs from single-process"
     print(json.dumps({
         "segments": args.segments, "reads": args.reads,
         "filtered_records": sum(1 for _ in open(filtered)),
         "max_steps": args.max_steps, "prep_s": round(prep_s, 1),
-        "t_1proc_s": round(t1, 2), f"t_{args.procs}proc_s": round(tn, 2),
-        "speedup": round(t1 / tn, 3), "efficiency": round(eff, 3),
+        "t_1proc_1core_s": round(t1, 2),
+        f"t_{args.procs}proc_s": round(tn, 2),
+        "t_1proc_allcores_s": round(t1_free, 2),
+        "eval_1proc_s": round(e1, 2), f"eval_{args.procs}proc_s": round(en, 2),
+        "walk_1proc_s": round(t1 - e1, 2),
+        # the scoring component is what shards; the decision walk is
+        # REPLICATED by design (exact output parity on every host)
+        "scoring_speedup": round(e1 / en, 3) if en else None,
+        "total_speedup_per_core": round(t1 / tn, 3),
+        "efficiency": round(t1 / (args.procs * tn), 3),
         "procs": args.procs,
     }))
 

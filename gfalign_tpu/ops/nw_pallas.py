@@ -210,14 +210,17 @@ def _kernel_factory_packed(n: int, m: int):
         acc0 = 0 * d0
 
         def step(d, head, carry):
+            # carries hold dp|E with prio ALREADY STRIPPED (one mask at the
+            # producer instead of three at the consumers); the rolled-in
+            # wrap value only lands in row 0, whose cur is border-overridden
+            # below, so the rolls need no row-0 masking
             p_prev2, p_prev, w_prev, fin = carry
             w = jnp.where(kidx == 0, head, jnp.roll(w_prev, 1, axis=0))
-            prev2_sh = jnp.where(kidx == 0, 0, jnp.roll(p_prev2, 1, axis=0))
-            prev_sh = jnp.where(kidx == 0, 0, jnp.roll(p_prev, 1, axis=0))
-            diag_in = (prev2_sh & NO_PRIO) \
-                + jnp.where(w == bs, d_match, d_mis)
-            vert_in = (p_prev & NO_PRIO) + d_vert
-            horiz_in = (prev_sh & NO_PRIO) + d_horiz
+            prev2_sh = jnp.roll(p_prev2, 1, axis=0)
+            prev_sh = jnp.roll(p_prev, 1, axis=0)
+            diag_in = prev2_sh + jnp.where(w == bs, d_match, d_mis)
+            vert_in = p_prev + d_vert
+            horiz_in = prev_sh + d_horiz
             cur = jnp.maximum(diag_in, jnp.maximum(vert_in, horiz_in))
             # borders: col 0 -> dp 0 / E 0; row 0 -> dp (-d | 0) / E d
             row0_pack = (jnp.where(d <= a_len, OFF - d, OFF) << S) + d
@@ -225,7 +228,7 @@ def _kernel_factory_packed(n: int, m: int):
             cur = jnp.where(kidx == d, row0_pack, cur)
             hit = hit_col & (hit_d == d)
             fin = jnp.where(hit, cur, fin)
-            return p_prev, cur, w, fin
+            return p_prev, cur & NO_PRIO, w, fin
 
         def block_step(blk, carry):
             start = pl.multiple_of(pad_l + n - 8 * blk - 8, 8)

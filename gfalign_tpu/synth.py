@@ -81,7 +81,8 @@ def make_workload(seed: int = 0,
                   tangle_budget: int = 2,
                   sub_rate: float = 0.002,
                   ins_rate: float = 0.0005,
-                  del_rate: float = 0.0005) -> Workload:
+                  del_rate: float = 0.0005,
+                  tangle_read_frac: float = 0.0) -> Workload:
     rng = random.Random(seed)
     graph = Graph()
 
@@ -127,7 +128,12 @@ def make_workload(seed: int = 0,
 
     for r in range(n_reads):
         target = rng.randint(*read_len)
-        start_i = rng.randrange(n_segments - 1)
+        if rng.random() < tangle_read_frac:
+            # coverage concentrated on the tangle (deep-coverage repeat
+            # region — the regime the search mode exists for)
+            start_i = rng.randrange(max(0, t0 - 2), t0 + tangle_k)
+        else:
+            start_i = rng.randrange(n_segments - 1)
         use_alt = start_i in bubble_at and rng.random() < 0.5
         start_seg = bubble_at[start_i] if use_alt else backbone[start_i]
         start_off = rng.randrange(max(1, len(seqs[start_seg]) - 1))
@@ -181,6 +187,23 @@ def make_workload(seed: int = 0,
         true_path=",".join(n + "+" for n in tangle),
         backbone=backbone,
     )
+
+
+def write_truth_gaf(wl: Workload, path: str) -> None:
+    """GAF records synthesized directly from the sampled truth walks
+    (bypasses the aligner — for benchmarks of the downstream stages whose
+    inputs just need to be well-formed alignments)."""
+    segs = wl.graph.segments
+    name_to_id = wl.graph.name_to_id
+    with open(path, "w") as fh:
+        for (name, seq), t in zip(wl.reads, wl.truth):
+            qlen = len(seq)
+            plen = sum(segs[name_to_id[n]].length for n in t.walk)
+            pstart = t.start_off
+            pend = min(plen, pstart + qlen)
+            p = "".join(">" + n for n in t.walk)
+            fh.write(f"{name}\t{qlen}\t0\t{qlen}\t+\t{p}\t{plen}\t{pstart}"
+                     f"\t{pend}\t{qlen}\t{qlen}\t60\n")
 
 
 def write_workload(wl: Workload, out_dir: str) -> Dict[str, str]:
