@@ -336,6 +336,25 @@ SEED_THRESHOLD = 48   # above this many segments, switch to k-mer seeding
 SEED_CHUNK = 32       # reads per seeded scoring batch
 SCORE_CHUNK = 4096    # max pairs per device dispatch (bounds host+HBM use)
 
+# chunk-buffer pool: freshly allocated chunk arrays pay a first-touch page
+# fault storm on this VM (np.full on a new 67 MB buffer ~2.6 s vs 9 ms to
+# refill an existing one — measured); jax copies host->device, so reuse
+# after the dispatch returns is safe.  Keyed by (role, shape, dtype): the
+# read-codes and path-codes buffers of one chunk can share a shape, and
+# must never alias.
+_BUF_POOL: Dict[Tuple, np.ndarray] = {}
+
+
+def _pooled(role: str, shape: Tuple[int, ...], fill,
+            dtype=np.int8) -> np.ndarray:
+    key = (role,) + shape + (np.dtype(dtype).char,)
+    buf = _BUF_POOL.get(key)
+    if buf is None:
+        buf = np.empty(shape, dtype)
+        _BUF_POOL[key] = buf
+    buf.fill(fill)
+    return buf
+
 
 def align_reads(graph: Graph, reads: Sequence[Tuple[str, str]],
                 min_score: int = MIN_SCORE) -> List[Tuple[str, int, List[GafHit]]]:
@@ -438,8 +457,8 @@ def _align_seeded(graph: Graph, reads, min_score: int):
           for c0 in range(0, len(idxs), SCORE_CHUNK):
             chunk = idxs[c0:c0 + SCORE_CHUNK]
             n_pad = pad_pow2(len(chunk), floor=8)
-            rc = np.full((n_pad, lr_b), seqalign.PAD, np.int8)
-            pc = np.full((n_pad, lp_b), seqalign.PAD, np.int8)
+            rc = _pooled("rc", (n_pad, lr_b), seqalign.PAD)
+            pc = _pooled("pc", (n_pad, lp_b), seqalign.PAD)
             for slot, n in enumerate(chunk):
                 r, key = pairs[n]
                 rc[slot, :len(work[r])] = work[r]
@@ -482,8 +501,8 @@ def _align_seeded(graph: Graph, reads, min_score: int):
             for c0 in range(0, len(idx_list), SCORE_CHUNK):  # bounded dispatch
                 chunk = idx_list[c0:c0 + SCORE_CHUNK]
                 n_pad = pad_pow2(len(chunk), floor=8)
-                rc = np.full((n_pad, lr_b), seqalign.PAD, np.int8)
-                pc = np.full((n_pad, lp_b), seqalign.PAD, np.int8)
+                rc = _pooled("rc", (n_pad, lr_b), seqalign.PAD)
+                pc = _pooled("pc", (n_pad, lp_b), seqalign.PAD)
                 dl = np.zeros((n_pad,), np.int64)
                 for slot, n in enumerate(chunk):
                     r, key = pairs[n]
