@@ -47,13 +47,73 @@ def _shard_keep(shard: Tuple[int, int], shard_by: str, idx: int, qname: str) -> 
 def _dup_stats_walk(qnames: Sequence[str], cols: np.ndarray,
                     collect_pairs: bool = False):
     """The reference's markDuplicates + countSupplementary counters over
-    bare metadata (no records): qnames must be name-sorted; cols is
-    (N, 5) int64 [qStart, qEnd, pLen, pStart, pEnd].  Reproduces the
-    scratch-leak (SURVEY.md §4 quirk 8) and the unsigned terminal window.
+    bare metadata (no records), fully vectorized: qnames must be
+    name-sorted; cols is (N, 5) int64 [qStart, qEnd, pLen, pStart, pEnd].
+    Reproduces the scratch-leak (SURVEY.md §4 quirk 8: singletons since
+    the last duplicate-run flush join that run's supplementary group) and
+    the unsigned terminal window (src/alignments.cpp:345 semantics).
     Returns (primary, secondary, supplementary, terminal_supplementary)
     and, with collect_pairs, also the terminal pairs' walk indices in
-    emission order (for distributed -t printing).  Equality with
-    AlignmentSet.mark_duplicates is fuzz-tested (tests/test_dist.py)."""
+    emission order.  Equality with the scalar reference walk
+    (_dup_stats_oracle) is fuzz-tested (tests/test_dist.py)."""
+    n = len(qnames)
+    empty = (0, 0, 0, 0)
+    if n == 0:
+        return (empty + ([],)) if collect_pairs else empty
+    names = np.asarray(qnames, dtype=object)
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    np.not_equal(names[1:], names[:-1], out=new_run[1:])
+    run_starts = np.flatnonzero(new_run)
+    n_runs = len(run_starts)
+    primary, secondary = n_runs, n - n_runs
+    run_ends = np.append(run_starts[1:], n)          # exclusive
+    # a flush happens at the LAST record of every duplicate (len>=2) run;
+    # group g = all records after the previous flush up to flush g inclusive
+    flush_at = run_ends[run_ends - run_starts >= 2] - 1
+    n_groups = len(flush_at)
+    if n_groups == 0:
+        counters = (primary, secondary, 0, 0)
+        return (counters + ([],)) if collect_pairs else counters
+    idx = np.arange(n)
+    grp = np.searchsorted(flush_at, idx)
+    idx = idx[grp < n_groups]                        # trailing records: never flushed
+    g = grp[idx]
+    qstart, qend = cols[idx, 0], cols[idx, 1]
+    order = np.lexsort((idx, qstart, g))             # stable qStart sort per group
+    gi, qs, qe, oi = g[order], qstart[order], qend[order], idx[order]
+    first = np.empty(len(order), dtype=bool)
+    first[0] = True
+    np.not_equal(gi[1:], gi[:-1], out=first[1:])
+    prev_qe = np.empty_like(qe)
+    prev_qe[0] = 0
+    prev_qe[1:] = qe[:-1]
+    supp = (~first) & (prev_qe != 0) & (qs > prev_qe)
+    supplementary = int(supp.sum())
+    sizes = np.bincount(gi, minlength=n_groups)
+    counts = np.bincount(gi[supp], minlength=n_groups)
+    cand = np.flatnonzero((sizes == 2) & (counts == 1))
+    terminal = 0
+    pairs: List[Tuple[int, int]] = []
+    if cand.size:
+        group_first = np.flatnonzero(first)
+        s0 = group_first[cand]
+        g0, g1 = oi[s0], oi[s0 + 1]
+        # unsigned terminal window: pEnd0 >= (pLen0 - 500) mod 2^32
+        win = (cols[g0, 2] - 500) % _U32
+        ok = (cols[g0, 4] >= win) & (cols[g1, 3] <= 500)
+        terminal = int(ok.sum())
+        if collect_pairs:
+            pairs = list(zip(g0[ok].tolist(), g1[ok].tolist()))
+    counters = (primary, secondary, supplementary, terminal)
+    return (counters + (pairs,)) if collect_pairs else counters
+
+
+def _dup_stats_oracle(qnames: Sequence[str], cols: np.ndarray,
+                      collect_pairs: bool = False):
+    """Scalar reference transcription of markDuplicates+countSupplementary
+    (src/alignments.cpp:304-351) over bare metadata — the fuzz oracle for
+    the vectorized _dup_stats_walk."""
     primary = secondary = supplementary = terminal = 0
     pairs: List[Tuple[int, int]] = []
     scratch: List[int] = []
@@ -498,39 +558,26 @@ class AlignmentSet:
         order = sorted(range(self.count), key=self.qname_at)
         self._apply_order(order)
 
-    def mark_duplicates(self, out=None) -> None:
-        prev: Optional[str] = None
-        scratch: List[int] = []
-        n = self.count
-        for i in range(n):
-            scratch.append(i)
-            name = self.qname_at(i)
-            if name == prev:
-                self.secondary += 1
-                if i + 1 == n or self.qname_at(i + 1) != name:
-                    self._count_supplementary(scratch, out)
-                    scratch = []
-            else:
-                self.primary += 1
-                prev = name
+    def _walk_cols(self) -> Tuple[List[str], np.ndarray]:
+        """(qnames, (N,5) [qStart qEnd pLen pStart pEnd]) for the dup walk."""
+        if self._records is None and self._numeric is not None:
+            return self._qnames, self._numeric[:, [1, 2, 4, 5, 6]]
+        qnames = [self.qname_at(i) for i in range(self.count)]
+        cols = np.array([[self.numeric_at(i, c) for c in (1, 2, 4, 5, 6)]
+                         for i in range(self.count)], dtype=np.int64)
+        return qnames, cols.reshape(-1, 5)
 
-    def _count_supplementary(self, group: List[int], out=None) -> None:
-        group = sorted(group, key=lambda i: self.numeric_at(i, 1))  # stable, qStart
-        pos = 0
-        count = 0
-        for i in group:
-            if pos != 0 and self.numeric_at(i, 1) > pos:
-                self.supplementary += 1
-                count += 1
-            pos = self.numeric_at(i, 2)  # qEnd
-        if len(group) == 2 and count == 1:
-            # unsigned window test: pLen < 500 wraps and never passes
-            if (self.numeric_at(group[0], 6)
-                    >= ((self.numeric_at(group[0], 4) - 500) % _U32)
-                    and self.numeric_at(group[1], 5) <= 500):
-                self.terminal_supplementary += 1
-                if self.terminal_flag and out is not None:
-                    out.write(self.line_at(group[0]) + self.line_at(group[1]))
+    def mark_duplicates(self, out=None) -> None:
+        qnames, cols = self._walk_cols()
+        primary, secondary, supplementary, terminal, pairs = _dup_stats_walk(
+            qnames, cols, collect_pairs=True)
+        self.primary += primary
+        self.secondary += secondary
+        self.supplementary += supplementary
+        self.terminal_supplementary += terminal
+        if self.terminal_flag and out is not None:
+            for g0, g1 in pairs:
+                out.write(self.line_at(g0) + self.line_at(g1))
 
     # -- filtering -------------------------------------------------------
 

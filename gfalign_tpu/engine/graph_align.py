@@ -117,17 +117,6 @@ def build_path(graph: Graph, steps: List[Tuple[int, str]],
     return OrientedPath(steps, "".join(seq_parts), offsets, seg_lens)
 
 
-def _edge_overlap(graph: Graph, s1: int, o1: str, s2: int, o2: str) -> int:
-    from ..graph.model import flip
-
-    for e in graph.links:
-        if (e.s1, e.or1, e.s2, e.or2) == (s1, o1, s2, o2):
-            return _overlap_len(e.overlap)
-        if (e.s2, flip(e.or2), e.s1, flip(e.or1)) == (s1, o1, s2, o2):
-            return _overlap_len(e.overlap)
-    return 0
-
-
 def overlap_table(graph: Graph) -> Dict[Tuple[int, str, int, str], int]:
     """Directed (s1, o1, s2, o2) -> overlap length, both edge directions."""
     from ..graph.model import flip
@@ -205,14 +194,8 @@ def enumerate_paths(graph: Graph, max_paths: int = 4096,
         kept.append(p)
         kept_strs.append(s)
 
-    paths = []
-    for steps in kept:
-        overlaps = [
-            _edge_overlap(graph, steps[k][0], steps[k][1],
-                          steps[k + 1][0], steps[k + 1][1])
-            for k in range(len(steps) - 1)
-        ]
-        paths.append(build_path(graph, steps, overlaps))
+    lut = overlap_table(graph)
+    paths = [build_oriented(graph, steps, lut) for steps in kept]
     lg.verbose(f"Enumerated {len(paths)} oriented paths")
     return paths
 

@@ -173,20 +173,22 @@ def _random_gaf_lines(rng, n_names=40, dup_frac=0.5):
 
 
 def test_dup_stats_walk_matches_mark_duplicates():
-    """The metadata walk (_dup_stats_walk) is the exact counter core of
-    mark_duplicates, fuzzed over random duplicate/leak/terminal patterns."""
-    import io as _io
+    """The vectorized walk (_dup_stats_walk, the production core of
+    mark_duplicates) matches the scalar reference transcription
+    (_dup_stats_oracle), fuzzed over random duplicate/leak/terminal
+    patterns — counters AND terminal pairs in emission order."""
     import random
 
     import numpy as np
 
-    from gfalign_tpu.engine.alignments import AlignmentSet, _dup_stats_walk
+    from gfalign_tpu.engine.alignments import (AlignmentSet, GafRecord,
+                                               _dup_stats_oracle,
+                                               _dup_stats_walk)
 
     rng = random.Random(31)
     for _ in range(20):
         lines = _random_gaf_lines(rng)
         a = AlignmentSet()
-        from gfalign_tpu.engine.alignments import GafRecord
         a._records = []
         for pos, line in enumerate(lines):
             rec = GafRecord.from_line(line, pos)
@@ -197,9 +199,11 @@ def test_dup_stats_walk_matches_mark_duplicates():
         qnames = [a.qname_at(i) for i in range(a.count)]
         cols = np.array([[a.numeric_at(i, c) for c in (1, 2, 4, 5, 6)]
                          for i in range(a.count)], dtype=np.int64)
-        walk = _dup_stats_walk(qnames, cols)
-        assert walk == (a.primary, a.secondary, a.supplementary,
-                        a.terminal_supplementary)
+        walk = _dup_stats_walk(qnames, cols, collect_pairs=True)
+        oracle = _dup_stats_oracle(qnames, cols, collect_pairs=True)
+        assert walk == oracle
+        assert walk[:4] == (a.primary, a.secondary, a.supplementary,
+                            a.terminal_supplementary)
 
 
 def test_real_two_process_exact_dup_marking(tmp_path):
