@@ -43,6 +43,7 @@ def timed(name, fn):
 
 
 seqalign.banded_pair_scores = timed("banded_scores", seqalign.banded_pair_scores)
+seqalign.banded_pool_scores = timed("banded_pool", seqalign.banded_pool_scores)
 seqalign.batched_pair_scores = timed("full_scores", seqalign.batched_pair_scores)
 seqalign.banded_traceback = timed("banded_tb", seqalign.banded_traceback)
 seqalign.traceback = timed("full_tb", seqalign.traceback)

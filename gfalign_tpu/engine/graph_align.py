@@ -339,6 +339,91 @@ def _pooled(role: str, shape: Tuple[int, ...], fill,
     return buf
 
 
+class _DevicePools:
+    """Device-resident read/path code pools for banded scoring dispatches.
+
+    The dispatch transport uploads ~30 MB/s with multi-second congestion
+    windows, so the old per-chunk (N, Lr)+(N, Lp) code uploads were ~96% of
+    align wall time at 10k-read scale (bench/profile_align.py).  Codes are
+    uploaded ONCE into pow2-capacity device pools; each scoring dispatch
+    ships only int32 row indices + deltas and gathers rows on device
+    (ops/seqalign.banded_pool_scores).
+
+    Pool capacities are sized up-front (reads are known; paths are
+    registered before the first sync) so the gather kernel compiles for as
+    few shapes as possible — every distinct pool shape is a fresh ~40 s
+    remote compile."""
+
+    def __init__(self, work: List[np.ndarray]):
+        import jax
+
+        from ..ops.nw_path import pad_pow2
+
+        self.lr_cap = pad_pow2(max((len(w) for w in work), default=16),
+                               floor=16)
+        r_cap = pad_pow2(len(work), floor=8)
+        buf = np.full((r_cap, self.lr_cap), seqalign.PAD, np.int8)
+        for r, w in enumerate(work):
+            buf[r, :len(w)] = w
+        self.reads = jax.device_put(buf)
+        self.paths = None            # jnp (p_cap, lp_cap) int8
+        self.p_cap = 0
+        self.lp_cap = 16
+        self.path_row: Dict[tuple, int] = {}
+        self._pending: List[Tuple[int, np.ndarray]] = []
+
+    def update_reads(self, rows: List[int], work: List[np.ndarray]) -> None:
+        """Re-upload masked read rows (placement masks accepted query
+        regions between rounds); `rows` is small after round 1."""
+        if not rows:
+            return
+        batch = np.full((len(rows), self.lr_cap), seqalign.PAD, np.int8)
+        for i, r in enumerate(rows):
+            batch[i, :len(work[r])] = work[r]
+        self.reads = self.reads.at[np.asarray(rows, np.int32)].set(batch)
+
+    def path_idx(self, key: tuple, codes: np.ndarray) -> int:
+        row = self.path_row.get(key)
+        if row is None:
+            row = len(self.path_row)
+            self.path_row[key] = row
+            self._pending.append((row, codes))
+        return row
+
+    def sync_paths(self) -> None:
+        """Upload pending path rows; grow capacity by pow2 doubling (rare —
+        the first sync sees the whole candidate set, so later growth only
+        happens on the raised-caps retry)."""
+        if not self._pending:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.nw_path import pad_pow2
+
+        need_rows = len(self.path_row)
+        need_lp = max(self.lp_cap,
+                      pad_pow2(max(len(c) for _, c in self._pending),
+                               floor=16))
+        if self.paths is None or need_rows > self.p_cap or need_lp > self.lp_cap:
+            p_cap = pad_pow2(need_rows, floor=8)
+            old = self.paths
+            self.paths = jnp.full((p_cap, need_lp), seqalign.PAD, jnp.int8)
+            if old is not None:
+                self.paths = jax.lax.dynamic_update_slice(
+                    self.paths, old, (0, 0))
+            self.p_cap, self.lp_cap = p_cap, need_lp
+        first = self._pending[0][0]
+        batch = np.full((len(self._pending), self.lp_cap), seqalign.PAD,
+                        np.int8)
+        for i, (row, codes) in enumerate(self._pending):
+            assert row == first + i  # rows are assigned sequentially
+            batch[i, :len(codes)] = codes
+        self.paths = jax.lax.dynamic_update_slice(
+            self.paths, jnp.asarray(batch), (first, 0))
+        self._pending = []
+
+
 def align_reads(graph: Graph, reads: Sequence[Tuple[str, str]],
                 min_score: int = MIN_SCORE) -> List[Tuple[str, int, List[GafHit]]]:
     """Returns [(read name, read length, hits sorted by descending score)].
@@ -411,6 +496,8 @@ def _align_seeded(graph: Graph, reads, min_score: int):
     all_hits: List[List[GafHit]] = [[] for _ in reads]
     accepted: List[List[Tuple[int, int]]] = [[] for _ in reads]
     active = [r for r in range(len(reads)) if cand_lists[r]]
+    pools = _DevicePools(work)
+    dirty_reads: set = set()   # rows masked since the last pool sync
 
     def score_pairs_full(pairs, results=None):
         """Bucketed full-DP pairwise scoring -> {pair_index: (v, bi, bj)}."""
@@ -467,6 +554,15 @@ def _align_seeded(graph: Graph, reads, min_score: int):
         if any(d is None for d in deltas):
             return score_pairs_full(pairs)
 
+        # flush masked reads + register every path key BEFORE the first
+        # dispatch, so the path pool compiles at one capacity per round
+        if dirty_reads:
+            pools.update_reads(sorted(dirty_reads), work)
+            dirty_reads.clear()
+        for _, key in pairs:
+            pools.path_idx(key, code_cache[key])
+        pools.sync_paths()
+
         def banded_round(idx_list, width, results, keep_low=False,
                          keep_edge=False):
             """Banded-score pairs[n] for n in idx_list at `width`; stores
@@ -475,25 +571,27 @@ def _align_seeded(graph: Graph, reads, min_score: int):
             this the terminal rung for that class — sub-threshold pairs
             are rejected by the placement loop anyway, and edge-flagged
             ones fail the traceback parity gates into the exact host
-            walk."""
-            lr_b = pad_pow2(max(len(work[pairs[n][0]]) for n in idx_list),
-                            floor=16)
-            lp_b = pad_pow2(max(len(code_cache[pairs[n][1]]) for n in idx_list),
-                            floor=16)
+            walk.
+
+            Dispatches ship only row indices; the codes live in the
+            device pools (see _DevicePools).  Chunk slots pad to one of
+            two sizes so the gather kernel compiles for at most two batch
+            shapes per width (remote compiles are ~40 s each)."""
             redo_edge, redo_low = [], []
             for c0 in range(0, len(idx_list), SCORE_CHUNK):  # bounded dispatch
                 chunk = idx_list[c0:c0 + SCORE_CHUNK]
-                n_pad = pad_pow2(len(chunk), floor=8)
-                rc = _pooled("rc", (n_pad, lr_b), seqalign.PAD)
-                pc = _pooled("pc", (n_pad, lp_b), seqalign.PAD)
-                dl = np.zeros((n_pad,), np.int64)
+                n_pad = SCORE_CHUNK if len(chunk) > 256 else 256
+                ridx = np.zeros((n_pad,), np.int32)
+                pidx = np.zeros((n_pad,), np.int32)
+                dl = np.zeros((n_pad,), np.int32)
                 for slot, n in enumerate(chunk):
                     r, key = pairs[n]
-                    rc[slot, :len(work[r])] = work[r]
-                    pc[slot, :len(code_cache[key])] = code_cache[key]
+                    ridx[slot] = r
+                    pidx[slot] = pools.path_idx(key, code_cache[key])
                     dl[slot] = deltas[n]
-                best, bi, bj, edge = seqalign.banded_pair_scores(rc, pc, dl,
-                                                                 width=width)
+                pools.sync_paths()
+                best, bi, bj, edge = seqalign.banded_pool_scores(
+                    pools.reads, pools.paths, ridx, pidx, dl, width=width)
                 for slot, n in enumerate(chunk):
                     if edge[slot] and not keep_edge:
                         redo_edge.append(n)
@@ -587,6 +685,7 @@ def _align_seeded(graph: Graph, reads, min_score: int):
             if placed:
                 for a, b in accepted[r]:
                     work[r][a:b] = seqalign.PAD
+                dirty_reads.add(r)
                 if _longest_uncovered(qlen, accepted[r]) >= min_score:
                     next_active.append(r)
         active = next_active

@@ -225,6 +225,59 @@ def _jitted_banded(width: int):
     return jax.jit(functools.partial(_banded_forward, width=width))
 
 
+def banded_pool_scores(read_pool, path_pool, read_idx: np.ndarray,
+                       path_idx: np.ndarray, deltas: np.ndarray,
+                       width: int = 128):
+    """banded_pair_scores over DEVICE-RESIDENT code pools.
+
+    The dispatch transport on a tunnel-attached TPU uploads ~30 MB/s with
+    multi-second congestion windows; shipping (N, Lr)+(N, Lp) code arrays
+    per dispatch dominated align mode at 10k-read scale (~50 s per chunk,
+    96% of align wall time — bench/profile_align.py).  Here the pair codes
+    stay resident: `read_pool` (R, Lr) and `path_pool` (P, Lp) are jnp
+    int8 arrays uploaded once, and each dispatch ships only int32 row
+    indices + deltas (KBs).  Rows are gathered on device.
+
+    Returns (best, bi, bj, edge) as np arrays, like banded_pair_scores.
+
+    On real TPU the anti-relayout Pallas row kernel
+    (seqalign_pallas.banded_pool_scores_pallas) is auto-selected — bit-exact
+    vs the XLA scan (tests/test_align_banded.py) and several times faster
+    at align shapes; the XLA formulation remains the CPU/fallback path."""
+    from .nw_path import _pallas_eligible
+
+    read_idx = np.asarray(read_idx, np.int32)
+    path_idx = np.asarray(path_idx, np.int32)
+    deltas = np.asarray(deltas, np.int32)
+    if _pallas_eligible() and read_idx.shape[0] % 128 == 0:
+        from .seqalign_pallas import (banded_pool_scores_pallas,
+                                      banded_shapes_fit)
+
+        lr = read_pool.shape[1]
+        if lr % 8 == 0 and width % 8 == 0 and banded_shapes_fit(lr, width):
+            best, bi, bj, edge = banded_pool_scores_pallas(
+                read_pool, path_pool, read_idx, path_idx, deltas, width)
+            return (np.asarray(best), np.asarray(bi), np.asarray(bj),
+                    np.asarray(edge))
+    fn = _jitted_banded_pool(width)
+    best, bi, bj, edge = fn(read_pool, path_pool, read_idx, path_idx, deltas)
+    return (np.asarray(best), np.asarray(bi), np.asarray(bj),
+            np.asarray(edge))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_banded_pool(width: int):
+    import jax
+    import jax.numpy as jnp
+
+    def fn(read_pool, path_pool, read_idx, path_idx, deltas):
+        rc = jnp.take(read_pool, read_idx, axis=0, mode="clip")
+        pc = jnp.take(path_pool, path_idx, axis=0, mode="clip")
+        return _banded_forward(rc, pc, deltas, width=width)
+
+    return jax.jit(fn)
+
+
 def _banded_forward(read_codes, path_codes, deltas, *, width: int):
     import jax
     import jax.numpy as jnp

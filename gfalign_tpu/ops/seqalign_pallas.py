@@ -222,6 +222,194 @@ def local_forward_pallas(read_codes: np.ndarray, path_codes: np.ndarray,
     return out[:, :, 0], out[:, :, 1], out[:, :, 2]
 
 
+# ---------------------------------------------------------------------------
+# Banded pairwise forward (the seeded aligner's production inner loop)
+# ---------------------------------------------------------------------------
+#
+# Row formulation of ops/seqalign._banded_forward in Pallas: band offset u
+# on sublanes (width rows), pairs on lanes (TILE_R).  The horizontal
+# dependency within a row is the max-plus prefix chain, computed as a
+# log2(width) sublane roll-doubling cummax; every other input is elementwise.
+# The path strip (strip[n, t] = path[n, t + delta - W/2], PAD outside) is
+# extracted by XLA from the device pools and fed as a kernel operand; the
+# kernel carries a (width, TILE_R) window of it, rolled one sublane per row
+# with the incoming tail fetched from 8-aligned blocks (same pattern as the
+# A-window of the cross/pairwise kernels above).
+#
+# Bit-exact vs _banded_forward including tie-breaks: per-sublane packed keys
+# v * 2^IB - i track (max value, earliest row) per band lane; the
+# post-loop reduction takes the max key, then the smallest u among equal
+# keys — which equals the XLA scan's "first improving row, then first
+# argmax lane" selection (tests/test_align_banded.py::test_pallas_parity).
+
+
+def banded_shapes_fit(lr: int, width: int) -> bool:
+    # carries: 3 x (width, TILE_R) int32 + strip/read operands
+    per_row = TILE_R * 4
+    need = (3 * width + (lr + width + 16) + (-(-lr // 8)) * 8 + 8) * per_row
+    return need <= int(VMEM_LIMIT * 0.9) and (lr + 2) * (lr + 2) < (1 << 30)
+
+
+def _banded_kernel_factory(lr: int, lp: int, width: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    assert width % 8 == 0 and lr % 8 == 0
+    W2 = width // 2
+    n_blocks = lr // 8
+    # packed selection key: value major, then earliest row i (strict >)
+    key_bits = max(lr + 2, 2).bit_length()
+    KEY_SCALE = 1 << key_bits
+    assert (lr + 1) * KEY_SCALE < (1 << 31)
+    n_shifts = (width - 1).bit_length()   # cummax roll-doubling steps
+
+    def kernel(rc_ref, st_ref, dl_ref, out_ref):
+        # rc_ref:  (1, lr, TILE_R) read codes, one PAIR per lane
+        # st_ref:  (1, strip_pad, TILE_R) path strip rows (strip[t] for the
+        #          pair on that lane; strip_pad = ceil8(lr + width))
+        # dl_ref:  (1, 1, TILE_R) int32 deltas
+        # out_ref: (1, 1, 4, TILE_R) int32: best, bi, u_win, edge-ignored
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (width, TILE_R), 0)
+        delta = dl_ref[0, 0:1, :]                       # (1, TILE_R)
+        decay = (-GAP) * kidx                           # -GAP*u >= 0
+
+        # lane-varying all-zero inits (cf. the cross kernel's d0 trick)
+        z0 = jnp.where(rc_ref[0, pl.ds(0, 1), :] < SENT, 1, 0).astype(jnp.int32)
+        z0 = jnp.broadcast_to(z0, (width, TILE_R)) + 0 * kidx
+        # st_ref row t holds strip[t - 1] (the wrapper shifts by one), so
+        # the PRE-row-1 window is st rows 0..width-1 = strip[-1..width-2];
+        # the first in-loop roll then lands on strip[0..width-1] with the
+        # tail fetched from the 8-aligned block at st row width
+        win0 = st_ref[0, pl.ds(0, width), :] + 0 * z0
+
+        def row(i1, rhead, tail, carry):
+            # i1 = 1-based row; rhead/tail: (1, TILE_R) read char / new
+            # strip entry strip[i1 + width - 2] (= st row i1 + width - 1)
+            h_prev, win, best_key = carry
+            win = jnp.where(kidx == width - 1, tail,
+                            jnp.roll(win, -1, axis=0))
+            r = rhead                                   # broadcast (1,TILE_R)
+            is_pad = (r == PAD) | (win == PAD) | (r < 0) | (win < 0)
+            match = (~is_pad) & (r < 4) & (win < 4) & (r == win)
+            s = jnp.where(is_pad, _BLOCK,
+                          jnp.where(match, MATCH, MISMATCH)).astype(jnp.int32)
+            up = jnp.where(kidx == width - 1, SENT,
+                           jnp.roll(h_prev, -1, axis=0))
+            c = jnp.maximum(0, jnp.maximum(h_prev + s, up + GAP))
+            j_of_u = i1 + delta - W2 + kidx             # (width, TILE_R)
+            in_path = (j_of_u >= 1) & (j_of_u <= lp)
+            c = jnp.where(in_path, c, 0)
+            # horizontal max-plus chain: cummax(c - GAP*u) + GAP*u via
+            # log2(width) sublane roll-doubling steps
+            z = c + decay
+            sh = 1
+            for _ in range(n_shifts):
+                t = jnp.where(kidx < sh, SENT, jnp.roll(z, sh, axis=0))
+                z = jnp.maximum(z, t)
+                sh *= 2
+            hn = z - decay
+            hn = jnp.where(in_path, hn, 0)
+            key = hn * KEY_SCALE - i1
+            best_key = jnp.maximum(best_key, key)
+            return hn, win, best_key
+
+        def block_step(blk, carry):
+            start = pl.multiple_of(blk * 8, 8)
+            rhead_block = rc_ref[0, pl.ds(start, 8), :]
+            tail_block = st_ref[0, pl.ds(start + width, 8), :]
+            for r in range(8):
+                carry = row(blk * 8 + r + 1, rhead_block[r:r + 1, :],
+                            tail_block[r:r + 1, :], carry)
+            return carry
+
+        init = (0 * z0, win0, 0 * z0)
+        _, _, best_key = jax.lax.fori_loop(0, n_blocks, block_step, init)
+        # reduce once after the loop: max key, then smallest u among equals
+        top = jnp.max(best_key, axis=0, keepdims=True)          # (1, TILE_R)
+        u_win = jnp.min(jnp.where(best_key == top, kidx, 1 << 24),
+                        axis=0, keepdims=True)
+        best_v = jnp.where(top > 0, (top + KEY_SCALE - 1) >> key_bits, 0)
+        best_i = jnp.where(top > 0, best_v * KEY_SCALE - top, 0)
+        out_ref[0, 0, 0:1, :] = best_v
+        out_ref[0, 0, 1:2, :] = best_i
+        out_ref[0, 0, 2:3, :] = jnp.where(top > 0, u_win, 0)
+        out_ref[0, 0, 3:4, :] = 0 * best_v
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_banded_pool(lr: int, lp: int, width: int, r_cap: int, p_cap: int,
+                       interpret: bool = False):
+    """jit-compiled: gather pair rows from device pools, extract strips,
+    run the banded Pallas kernel, return (best, bi, bj, edge) like
+    ops.seqalign._banded_forward."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = _banded_kernel_factory(lr, lp, width)
+    strip_pad = (-(-(lr + width) // 8)) * 8 + 8  # +8: tail block slack
+    W2 = width // 2
+
+    @jax.jit
+    def fn(read_pool, path_pool, read_idx, path_idx, deltas):
+        N = read_idx.shape[0]
+        T = N // TILE_R
+        rc = jnp.take(read_pool, read_idx, axis=0,
+                      mode="clip").astype(jnp.int32)          # (N, lr)
+        pc = jnp.take(path_pool, path_idx, axis=0, mode="clip")
+        # st row t = strip[t - 1]: one leading pad row keeps the in-kernel
+        # tail fetches 8-aligned (see the kernel's win0 comment)
+        t = jnp.arange(strip_pad, dtype=jnp.int32)
+        src = t[None, :] + deltas[:, None] - W2 - 1
+        ok = (src >= 0) & (src < lp)
+        strip = jnp.where(ok, jnp.take_along_axis(
+            pc, jnp.clip(src, 0, lp - 1), axis=1), PAD).astype(jnp.int32)
+        rck = rc.reshape(T, TILE_R, lr).transpose(0, 2, 1)
+        stk = strip.reshape(T, TILE_R, strip_pad).transpose(0, 2, 1)
+        dlk = deltas.astype(jnp.int32).reshape(T, 1, TILE_R)
+        out = pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, lr, TILE_R), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, strip_pad, TILE_R), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, TILE_R), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 4, TILE_R), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T, 1, 4, TILE_R), jnp.int32),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+            interpret=interpret,
+        )(rck, stk, dlk)
+        out = out.transpose(0, 3, 1, 2).reshape(N, 4)
+        best, bi, u_win = out[:, 0], out[:, 1], out[:, 2]
+        okv = best > 0
+        bj = jnp.where(okv, bi + deltas - W2 + u_win, 0)
+        edge = okv & ((u_win <= 0) | (u_win >= width - 1))
+        return (jnp.where(okv, best, 0), jnp.where(okv, bi, 0), bj, edge)
+
+    return fn
+
+
+def banded_pool_scores_pallas(read_pool, path_pool, read_idx, path_idx,
+                              deltas, width: int, interpret: bool = False):
+    """Drop-in for the XLA pool-gather banded scorer (seqalign.
+    banded_pool_scores device path): (best, bi, bj, edge) over pairs
+    (read_pool[read_idx[n]], path_pool[path_idx[n]]).  N must be a
+    multiple of TILE_R."""
+    r_cap, lr = read_pool.shape
+    p_cap, lp = path_pool.shape
+    fn = _build_banded_pool(lr, lp, width, r_cap, p_cap, interpret)
+    return fn(read_pool, path_pool, read_idx, path_idx, deltas)
+
+
 @functools.lru_cache(maxsize=None)
 def _build_forward_pairs(lr: int, lp: int, interpret: bool = False):
     import jax

@@ -166,3 +166,43 @@ class TestBandedTraceback:
         path = np.zeros(60, np.int8)
         # u_end = ej - ei - delta + w2 lands outside [1, width-2]
         assert seqalign.banded_traceback(read, path, 50, 60, 500, 64, 50) is None
+
+
+def test_banded_pool_pallas_parity():
+    """The Pallas banded pool kernel (interpret mode on CPU) is bit-exact
+    vs the XLA banded scan over the same gathered pairs, including
+    tie-breaks, PAD tails, off-band deltas, and repeated motifs."""
+    import jax
+
+    from gfalign_tpu.ops.seqalign import _banded_forward
+    from gfalign_tpu.ops.seqalign_pallas import banded_pool_scores_pallas
+
+    rng = np.random.default_rng(31)
+    lr, lp, W, N = 64, 192, 16, 128
+    read_pool = np.full((16, lr), PAD, np.int8)
+    path_pool = rng.integers(0, 4, size=(8, lp)).astype(np.int8)
+    path_pool[5, 100:] = PAD                       # short path row
+    motif = rng.integers(0, 4, size=10).astype(np.int8)
+    path_pool[6] = np.tile(motif, -(-lp // 10))[:lp]   # tie-rich repeats
+    for r in range(16):
+        rl = int(rng.integers(8, lr + 1))
+        p = int(rng.integers(0, 8))
+        start = int(rng.integers(0, lp - lr))
+        seq = path_pool[p, start:start + rl].copy()
+        for pos in range(2, rl - 2, 9):
+            seq[pos] = (seq[pos] + 1) % 4
+        read_pool[r, :rl] = seq
+    read_idx = rng.integers(0, 16, size=N).astype(np.int32)
+    path_idx = rng.integers(0, 8, size=N).astype(np.int32)
+    deltas = rng.integers(-40, 200, size=N).astype(np.int32)  # incl off-band
+
+    rc = read_pool[read_idx]
+    pc = path_pool[path_idx]
+    xb, xi, xj, xe = [np.asarray(v) for v in jax.jit(
+        lambda r, p, d: _banded_forward(r, p, d, width=W))(rc, pc, deltas)]
+    pb, pi, pj, pe = [np.asarray(v) for v in banded_pool_scores_pallas(
+        read_pool, path_pool, read_idx, path_idx, deltas, W, interpret=True)]
+    np.testing.assert_array_equal(pb, xb)
+    np.testing.assert_array_equal(pi, xi)
+    np.testing.assert_array_equal(pj, xj)
+    np.testing.assert_array_equal(pe, xe)

@@ -73,6 +73,29 @@ def main():
     check("seqalign pallas pairwise == xla (device)",
           all(np.array_equal(g, w) for g, w in zip(got, want)))
 
+    # 2b. banded pool kernel (the seeded align production path): Pallas ==
+    # XLA scan over the same device pools, with ties / PADs / off-band
+    # deltas in the mix
+    from gfalign_tpu.ops.seqalign import _jitted_banded_pool
+    from gfalign_tpu.ops.seqalign_pallas import banded_pool_scores_pallas
+
+    lr, lp, W, Np = 256, 512, 64, 256
+    read_pool = rng.integers(0, 6, size=(32, lr)).astype(np.int8)
+    path_pool = rng.integers(0, 4, size=(16, lp)).astype(np.int8)
+    read_pool[3, 100:] = 5
+    path_pool[2, 300:] = 5
+    read_pool[7] = np.tile(path_pool[1, :16], lr // 16)  # tie-rich
+    ridx = rng.integers(0, 32, size=Np).astype(np.int32)
+    pidx = rng.integers(0, 16, size=Np).astype(np.int32)
+    dl = rng.integers(-80, 400, size=Np).astype(np.int32)
+    rp_d, pp_d = jnp.asarray(read_pool), jnp.asarray(path_pool)
+    got = [np.asarray(x) for x in banded_pool_scores_pallas(
+        rp_d, pp_d, ridx, pidx, dl, W)]
+    want = [np.asarray(x) for x in _jitted_banded_pool(W)(
+        rp_d, pp_d, ridx, pidx, dl)]
+    check("banded pool pallas == xla (device)",
+          all(np.array_equal(g, w) for g, w in zip(got, want)))
+
     # 3. shard_map frontier step, Pallas vs XLA on a real-chip mesh
     from jax.sharding import Mesh
 
