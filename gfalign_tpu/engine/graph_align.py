@@ -445,7 +445,8 @@ def _align_seeded(graph: Graph, reads, min_score: int):
     from collections import defaultdict
 
     from ..ops.nw_path import pad_pow2
-    from .seeding import KmerIndex, paths_around_anchor
+    from .seeding import (KmerIndex, anchors_with_diag_batch,
+                          paths_around_anchor)
 
     from .seeding import MAX_ANCHORS_PER_READ, MAX_PATHS_PER_ANCHOR
 
@@ -455,12 +456,11 @@ def _align_seeded(graph: Graph, reads, min_score: int):
     code_cache: Dict[tuple, np.ndarray] = {}
     cand_deltas: Dict[Tuple[int, tuple], int] = {}  # (read, key) -> diagonal
 
-    def gen_candidates(r: int, seq: str, max_anchors: int, max_paths: int,
-                       audit: CapAudit) -> List[tuple]:
+    def gen_candidates(r: int, seq: str, anchors: List[tuple],
+                       max_paths: int, audit: CapAudit) -> List[tuple]:
         cands: List[tuple] = []
         seen = set()
-        for anchor, seg_diag in index.anchors_with_diag(
-                encode_seq(seq), max_anchors, audit=audit):
+        for anchor, seg_diag in anchors:
             # corridor dedup: a long read's own segments all rank as
             # anchors, and each would re-enumerate the same corridor of
             # paths; an anchor already inside a kept candidate adds no new
@@ -487,8 +487,11 @@ def _align_seeded(graph: Graph, reads, min_score: int):
         return cands
 
     read_audits = [CapAudit() for _ in reads]
+    anchor_lists = anchors_with_diag_batch(
+        index, [encode_seq(seq) for _, seq in reads],
+        MAX_ANCHORS_PER_READ, audits=read_audits)
     cand_lists: List[List[tuple]] = [
-        gen_candidates(r, seq, MAX_ANCHORS_PER_READ, MAX_PATHS_PER_ANCHOR,
+        gen_candidates(r, seq, anchor_lists[r], MAX_PATHS_PER_ANCHOR,
                        read_audits[r])
         for r, (_, seq) in enumerate(reads)]
 
@@ -702,10 +705,13 @@ def _align_seeded(graph: Graph, reads, min_score: int):
                   or _longest_uncovered(len(reads[r][1]),
                                         accepted[r]) >= min_score)]
     if retry:
-        for r in retry:
+        retry_anchors = anchors_with_diag_batch(
+            index, [encode_seq(reads[r][1]) for r in retry],
+            4 * MAX_ANCHORS_PER_READ)
+        for i, r in enumerate(retry):
             read_audits[r].hit("reads_retried_with_raised_caps")
             cand_lists[r] = gen_candidates(
-                r, reads[r][1], 4 * MAX_ANCHORS_PER_READ,
+                r, reads[r][1], retry_anchors[i],
                 4 * MAX_PATHS_PER_ANCHOR, CapAudit())
         placement_rounds([r for r in retry if cand_lists[r]])
 

@@ -105,7 +105,8 @@ def search(graph: Graph,
            return_all_paths: bool = False,
            out=None,
            evaluate_fn=None,
-           spec_depth: int = 2) -> None:
+           spec_depth: int = 2,
+           speculate: int = 64) -> None:
     out = out or sys.stdout
     evaluate_fn = evaluate_fn or evaluate_candidates
     adj = graph.adjacency
@@ -156,7 +157,7 @@ def search(graph: Graph,
     # NOTE: must not depend on the LOCAL read shard (empty on some hosts in
     # distributed runs) or processes would issue different collective
     # sequences; with no reads the extra speculation is harmless
-    speculate = 32   # heap tops speculated per dispatch; spec_depth =
+    # `speculate` heap tops are speculated per dispatch; spec_depth =
     # generations of descent speculation per dispatch (see below)
 
     best_alt = 2 ** 31 - 1
@@ -222,7 +223,14 @@ def search(graph: Graph,
             results = evaluate_fn([s for _, s in to_score], read_batch,
                                   filter_alignments=True)
             if len(score_cache) > 200000:
-                score_cache.clear()
+                # evict the oldest half (dict preserves insertion order):
+                # a wholesale clear() caused periodic full re-scoring
+                # storms at the reference's default 100k-step cap.
+                # Deterministic across processes — every process inserts
+                # the same keys in the same order.
+                from itertools import islice
+                for k in list(islice(score_cache, len(score_cache) // 2)):
+                    del score_cache[k]
             for (key, _), sc in zip(to_score, results):
                 score_cache[key] = sc
         scores = [score_cache[tuple(e[2])] for e in expansions]

@@ -160,6 +160,95 @@ class KmerIndex:
                 for kk in ranked_keys[:cut]]
 
 
+def anchors_with_diag_batch(index: KmerIndex,
+                            reads_codes: List[np.ndarray],
+                            max_anchors: int = MAX_ANCHORS_PER_READ,
+                            audits=None) -> List[List[Tuple[Tuple[int, str], int]]]:
+    """anchors_with_diag for MANY reads in one vectorized pass: one
+    searchsorted + lexsort over the concatenated hit stream with the read
+    id as the major sort key.  Per-read results (anchor order, diagonal
+    votes, tie-extension, audit tallies) are identical to calling
+    anchors_with_diag per read (tests/test_seeding.py), but the per-call
+    numpy fixed costs are paid once per BATCH — ~9 ms/read of voting was
+    the #2 align cost at 10k-read scale after device scoring."""
+    qs, poss, rids = [], [], []
+    for r, codes in enumerate(reads_codes):
+        kms = _kmer_codes(codes, index.k)
+        valid = kms >= 0
+        pos = np.nonzero(valid)[0]
+        if len(pos):
+            qs.append(kms[valid])
+            poss.append(pos)
+            rids.append(np.full(len(pos), r, np.int32))
+    out: List[List[Tuple[Tuple[int, str], int]]] = [[] for _ in reads_codes]
+    if not qs:
+        return out
+    q = np.concatenate(qs)
+    pos = np.concatenate(poss)
+    rid = np.concatenate(rids)
+    lo = np.searchsorted(index.kmers, q, "left")
+    hi = np.searchsorted(index.kmers, q, "right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total == 0:
+        return out
+    grp = np.repeat(np.arange(len(q)), cnt)
+    base = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    idx = lo[grp] + (np.arange(total) - base[grp])
+    akey = index.sids[idx].astype(np.int64) * 2 + index.orients[idx]
+    diag = index.offs[idx].astype(np.int64) - pos[grp]
+    hrid = rid[grp].astype(np.int64)
+    # (read, anchor, diag) vote runs
+    order = np.lexsort((diag, akey, hrid))
+    rid_s, akey_s, diag_s = hrid[order], akey[order], diag[order]
+    new_pair = np.empty(total, bool)
+    new_pair[0] = True
+    new_pair[1:] = ((rid_s[1:] != rid_s[:-1]) | (akey_s[1:] != akey_s[:-1])
+                    | (diag_s[1:] != diag_s[:-1]))
+    pair_start = np.nonzero(new_pair)[0]
+    p_rid = rid_s[pair_start]
+    p_anchor = akey_s[pair_start]
+    p_diag = diag_s[pair_start]
+    p_cnt = np.diff(np.concatenate([pair_start, [total]]))
+    # votes per (read, anchor) = sum of its pair runs
+    new_anchor = np.empty(len(p_anchor), bool)
+    new_anchor[0] = True
+    new_anchor[1:] = (p_rid[1:] != p_rid[:-1]) | (p_anchor[1:] != p_anchor[:-1])
+    a_start = np.nonzero(new_anchor)[0]
+    a_rid = p_rid[a_start]
+    a_key = p_anchor[a_start]
+    a_votes = np.add.reduceat(p_cnt, a_start)
+    # best diag per (read, anchor): most votes, smallest |diag|, then value.
+    # first2 picks one row per (read, anchor) group in (rid, anchor) sorted
+    # order — the SAME group order as a_start, so best_diag aligns 1:1.
+    ord2 = np.lexsort((p_diag, np.abs(p_diag), -p_cnt, p_anchor, p_rid))
+    pr2, pa2 = p_rid[ord2], p_anchor[ord2]
+    first2 = np.empty(len(pa2), bool)
+    first2[0] = True
+    first2[1:] = (pr2[1:] != pr2[:-1]) | (pa2[1:] != pa2[:-1])
+    best_diag = p_diag[ord2[first2]]
+    # rank anchors within each read by (-votes, (sid, orientation))
+    ord3 = np.lexsort((a_key, -a_votes, a_rid))
+    r3 = a_rid[ord3]
+    seg_start = np.nonzero(np.concatenate([[True], r3[1:] != r3[:-1]]))[0]
+    seg_end = np.concatenate([seg_start[1:], [len(r3)]])
+    for s0, s1 in zip(seg_start, seg_end):
+        r = int(r3[s0])
+        g = ord3[s0:s1]                      # group indices, ranked
+        votes = a_votes[g]
+        n = s1 - s0
+        cut = min(max_anchors, n)
+        while 0 < cut < n and votes[cut] == votes[cut - 1]:
+            cut += 1
+        if audits is not None and cut < n:
+            audits[r].hit("anchors_per_read", n - cut)
+        keys = a_key[g[:cut]]
+        diags = best_diag[g[:cut]]
+        out[r] = [((int(kk) // 2, "+-"[int(kk) % 2]), int(dd))
+                  for kk, dd in zip(keys, diags)]
+    return out
+
+
 def paths_around_anchor(graph: Graph, anchor: Tuple[int, str],
                         target_len: int,
                         max_paths: int = MAX_PATHS_PER_ANCHOR,

@@ -115,3 +115,35 @@ def test_cap_bound_placement_recovered_by_adaptive_retry():
     # the B-tail region must be covered — only reachable past the cap
     assert any(b > 105 for _, b in covered), covered
     assert any(f"B{true_branch}" in h.path_str for h in hits)
+
+
+def test_anchor_batch_matches_per_read(chain):
+    """anchors_with_diag_batch == per-read anchors_with_diag, including
+    anchor order, diagonals, tie-extension, and audit tallies."""
+    import numpy as np
+
+    from gfalign_tpu.engine.graph_align import CapAudit
+    from gfalign_tpu.engine.seeding import KmerIndex, anchors_with_diag_batch
+    from gfalign_tpu.io.fastq import encode_seq
+
+    graph, seqs = chain
+    rng = random.Random(9)
+    reads = []
+    for i in range(0, 40, 3):
+        seq = (seqs[i] + seqs[i + 1] + seqs[i + 2])[5:190]
+        if i % 2:
+            seq = revcomp(seq)
+        # some noise + one read with Ns, one junk read
+        seq = "".join(c if rng.random() > 0.02 else "N" for c in seq)
+        reads.append(seq)
+    reads.append("N" * 40)
+    reads.append("".join(rng.choice("ACGT") for _ in range(60)))
+    index = KmerIndex(graph)
+    codes = [encode_seq(s) for s in reads]
+    audits_b = [CapAudit() for _ in reads]
+    batch = anchors_with_diag_batch(index, codes, 4, audits=audits_b)
+    for r, c in enumerate(codes):
+        audit = CapAudit()
+        single = index.anchors_with_diag(c, 4, audit=audit)
+        assert batch[r] == single, f"read {r}"
+        assert audits_b[r].counts == audit.counts, f"read {r} audit"
