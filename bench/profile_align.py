@@ -36,14 +36,18 @@ def timed(name, fn):
     def wrapper(*a, **kw):
         t0 = time.perf_counter()
         out = fn(*a, **kw)
-        acc[name] = acc.get(name, 0.0) + (time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        acc[name] = acc.get(name, 0.0) + dt
         acc[name + "_calls"] = acc.get(name + "_calls", 0) + 1
+        if dt > 2.0:
+            print(f"  [{name} call {acc[name + '_calls']}: {dt:.1f}s]",
+                  file=sys.stderr, flush=True)
         return out
     return wrapper
 
 
 seqalign.banded_pair_scores = timed("banded_scores", seqalign.banded_pair_scores)
-seqalign.banded_pool_scores = timed("banded_pool", seqalign.banded_pool_scores)
+seqalign.banded_arena_scores = timed("banded_arena", seqalign.banded_arena_scores)
 seqalign.batched_pair_scores = timed("full_scores", seqalign.batched_pair_scores)
 seqalign.banded_traceback = timed("banded_tb", seqalign.banded_traceback)
 seqalign.traceback = timed("full_tb", seqalign.traceback)

@@ -339,24 +339,37 @@ def _pooled(role: str, shape: Tuple[int, ...], fill,
     return buf
 
 
+_CO_PAD = (1 << 31) - 1   # cum_off padding: past-the-end sentinel
+
+
 class _DevicePools:
-    """Device-resident read/path code pools for banded scoring dispatches.
+    """Device-resident scoring state for banded dispatches.
 
     The dispatch transport uploads ~30 MB/s with multi-second congestion
-    windows, so the old per-chunk (N, Lr)+(N, Lp) code uploads were ~96% of
-    align wall time at 10k-read scale (bench/profile_align.py).  Codes are
-    uploaded ONCE into pow2-capacity device pools; each scoring dispatch
-    ships only int32 row indices + deltas and gathers rows on device
-    (ops/seqalign.banded_pool_scores).
+    windows, so per-chunk (N, Lr)+(N, Lp) code uploads were ~96% of align
+    wall time at 10k-read scale (bench/profile_align.py) — and a padded
+    device path-code pool re-ships the same segment bytes thousands of
+    times (a 1k-read run registers ~17k candidate paths ≈ 565 MB).  So
+    path BYTES never leave the host at all:
 
-    Pool capacities are sized up-front (reads are known; paths are
-    registered before the first sync) so the gather kernel compiles for as
-    few shapes as possible — every distinct pool shape is a fresh ~40 s
-    remote compile."""
+      * reads upload once into a (r_cap, lr_cap) int8 pool;
+      * the ORIENTED SEGMENT ARENA (fw + rc codes of every segment, ~2x
+        graph size) uploads once;
+      * a path is registered as per-step int32 tables (cum_off = path
+        offset where each step's contribution starts; base_ptr = arena
+        index - cum_off, overlap drop folded in) and its banded strip is
+        assembled on device per dispatch (ops/seqalign.assemble_strip);
+      * each dispatch ships only int32 row indices + deltas (KBs).
 
-    def __init__(self, work: List[np.ndarray]):
+    Table capacities grow by pow2 doubling (rare: the first sync sees the
+    whole candidate set) because every distinct table shape is a fresh
+    remote compile of the scoring fn (~40 s over this transport)."""
+
+    def __init__(self, work: List[np.ndarray], graph: Graph):
         import jax
 
+        from ..graph.stats import revcomp
+        from ..io.fastq import encode_seq
         from ..ops.nw_path import pad_pow2
 
         self.lr_cap = pad_pow2(max((len(w) for w in work), default=16),
@@ -366,11 +379,31 @@ class _DevicePools:
         for r, w in enumerate(work):
             buf[r, :len(w)] = w
         self.reads = jax.device_put(buf)
-        self.paths = None            # jnp (p_cap, lp_cap) int8
+
+        self.arena_start: Dict[Tuple[int, str], int] = {}
+        parts: List[np.ndarray] = []
+        pos = 0
+        for sid in range(graph.n_segments):
+            seq = graph.segment(sid).seq
+            for orient, s in (("+", seq), ("-", revcomp(seq) if seq else "")):
+                self.arena_start[(sid, orient)] = pos
+                if s:
+                    parts.append(encode_seq(s).astype(np.int8))
+                    pos += len(s)
+        arena = (np.concatenate(parts) if parts
+                 else np.zeros(8, np.int8))
+        self.arena = jax.device_put(arena)
+
         self.p_cap = 0
-        self.lp_cap = 16
+        self.s_cap = 8                      # max steps/path, pow2 growth
+        self.cum_off = None                 # jnp (p_cap, s_cap) int32
+        self.base_ptr = None                # jnp (p_cap, s_cap) int32
+        self.plen = None                    # jnp (p_cap,) int32
         self.path_row: Dict[tuple, int] = {}
-        self._pending: List[Tuple[int, np.ndarray]] = []
+        self.irregular: set = set()         # keys the arena mapping can't
+        # represent (non-monotone offsets from overlap > segment); scored
+        # by the host-array fallback instead
+        self._pending: List[Tuple[int, np.ndarray, np.ndarray, int]] = []
 
     def update_reads(self, rows: List[int], work: List[np.ndarray]) -> None:
         """Re-upload masked read rows (placement masks accepted query
@@ -382,18 +415,34 @@ class _DevicePools:
             batch[i, :len(work[r])] = work[r]
         self.reads = self.reads.at[np.asarray(rows, np.int32)].set(batch)
 
-    def path_idx(self, key: tuple, codes: np.ndarray) -> int:
+    def path_idx(self, key: tuple, op: OrientedPath) -> Optional[int]:
+        """Register/look up a path; returns its table row, or None when
+        the path is irregular (caller falls back to host-array scoring)."""
+        if key in self.irregular:
+            return None
         row = self.path_row.get(key)
-        if row is None:
-            row = len(self.path_row)
-            self.path_row[key] = row
-            self._pending.append((row, codes))
+        if row is not None:
+            return row
+        n_steps = len(op.steps)
+        co = np.empty(n_steps, np.int64)
+        bp = np.empty(n_steps, np.int64)
+        pos = 0
+        for k, (sid, orient) in enumerate(op.steps):
+            drop = pos - op.offsets[k]
+            co[k] = pos
+            bp[k] = self.arena_start[(sid, orient)] + drop - pos
+            pos += op.seg_lens[k] - drop
+        if pos != len(op.seq) or np.any(np.diff(co) < 0) or n_steps == 0:
+            self.irregular.add(key)
+            return None
+        row = len(self.path_row)
+        self.path_row[key] = row
+        self._pending.append((row, co.astype(np.int32),
+                              bp.astype(np.int32), pos))
         return row
 
     def sync_paths(self) -> None:
-        """Upload pending path rows; grow capacity by pow2 doubling (rare —
-        the first sync sees the whole candidate set, so later growth only
-        happens on the raised-caps retry)."""
+        """Upload pending path tables; grow capacities by pow2 doubling."""
         if not self._pending:
             return
         import jax
@@ -402,25 +451,40 @@ class _DevicePools:
         from ..ops.nw_path import pad_pow2
 
         need_rows = len(self.path_row)
-        need_lp = max(self.lp_cap,
-                      pad_pow2(max(len(c) for _, c in self._pending),
-                               floor=16))
-        if self.paths is None or need_rows > self.p_cap or need_lp > self.lp_cap:
+        need_s = max(self.s_cap,
+                     pad_pow2(max(len(co) for _, co, _, _ in self._pending),
+                              floor=8))
+        if (self.cum_off is None or need_rows > self.p_cap
+                or need_s > self.s_cap):
             p_cap = pad_pow2(need_rows, floor=8)
-            old = self.paths
-            self.paths = jnp.full((p_cap, need_lp), seqalign.PAD, jnp.int8)
-            if old is not None:
-                self.paths = jax.lax.dynamic_update_slice(
-                    self.paths, old, (0, 0))
-            self.p_cap, self.lp_cap = p_cap, need_lp
+            old = (self.cum_off, self.base_ptr, self.plen)
+            self.cum_off = jnp.full((p_cap, need_s), _CO_PAD, jnp.int32)
+            self.base_ptr = jnp.zeros((p_cap, need_s), jnp.int32)
+            self.plen = jnp.zeros((p_cap,), jnp.int32)
+            if old[0] is not None:
+                self.cum_off = jax.lax.dynamic_update_slice(
+                    self.cum_off, old[0], (0, 0))
+                self.base_ptr = jax.lax.dynamic_update_slice(
+                    self.base_ptr, old[1], (0, 0))
+                self.plen = jax.lax.dynamic_update_slice(
+                    self.plen, old[2], (0,))
+            self.p_cap, self.s_cap = p_cap, need_s
         first = self._pending[0][0]
-        batch = np.full((len(self._pending), self.lp_cap), seqalign.PAD,
-                        np.int8)
-        for i, (row, codes) in enumerate(self._pending):
+        n = len(self._pending)
+        co_b = np.full((n, self.s_cap), _CO_PAD, np.int32)
+        bp_b = np.zeros((n, self.s_cap), np.int32)
+        pl_b = np.zeros((n,), np.int32)
+        for i, (row, co, bp, plen) in enumerate(self._pending):
             assert row == first + i  # rows are assigned sequentially
-            batch[i, :len(codes)] = codes
-        self.paths = jax.lax.dynamic_update_slice(
-            self.paths, jnp.asarray(batch), (first, 0))
+            co_b[i, :len(co)] = co
+            bp_b[i, :len(bp)] = bp
+            pl_b[i] = plen
+        self.cum_off = jax.lax.dynamic_update_slice(
+            self.cum_off, jnp.asarray(co_b), (first, 0))
+        self.base_ptr = jax.lax.dynamic_update_slice(
+            self.base_ptr, jnp.asarray(bp_b), (first, 0))
+        self.plen = jax.lax.dynamic_update_slice(
+            self.plen, jnp.asarray(pl_b), (first,))
         self._pending = []
 
 
@@ -499,7 +563,7 @@ def _align_seeded(graph: Graph, reads, min_score: int):
     all_hits: List[List[GafHit]] = [[] for _ in reads]
     accepted: List[List[Tuple[int, int]]] = [[] for _ in reads]
     active = [r for r in range(len(reads)) if cand_lists[r]]
-    pools = _DevicePools(work)
+    pools = _DevicePools(work, graph)
     dirty_reads: set = set()   # rows masked since the last pool sync
 
     def score_pairs_full(pairs, results=None):
@@ -558,13 +622,13 @@ def _align_seeded(graph: Graph, reads, min_score: int):
             return score_pairs_full(pairs)
 
         # flush masked reads + register every path key BEFORE the first
-        # dispatch, so the path pool compiles at one capacity per round
+        # dispatch, so the path tables compile at one capacity per round
         if dirty_reads:
             pools.update_reads(sorted(dirty_reads), work)
             dirty_reads.clear()
-        for _, key in pairs:
-            pools.path_idx(key, code_cache[key])
+        rows = [pools.path_idx(key, path_cache[key]) for _, key in pairs]
         pools.sync_paths()
+        irregular = [n for n, row in enumerate(rows) if row is None]
 
         def banded_round(idx_list, width, results, keep_low=False,
                          keep_edge=False):
@@ -576,10 +640,11 @@ def _align_seeded(graph: Graph, reads, min_score: int):
             ones fail the traceback parity gates into the exact host
             walk.
 
-            Dispatches ship only row indices; the codes live in the
-            device pools (see _DevicePools).  Chunk slots pad to one of
-            two sizes so the gather kernel compiles for at most two batch
-            shapes per width (remote compiles are ~40 s each)."""
+            Dispatches ship only row indices; read codes and the segment
+            arena live on device (see _DevicePools) and path strips are
+            assembled there.  Chunk slots pad to one of two sizes so the
+            scoring fn compiles for at most two batch shapes per width
+            (remote compiles are ~40 s each)."""
             redo_edge, redo_low = [], []
             for c0 in range(0, len(idx_list), SCORE_CHUNK):  # bounded dispatch
                 chunk = idx_list[c0:c0 + SCORE_CHUNK]
@@ -590,11 +655,11 @@ def _align_seeded(graph: Graph, reads, min_score: int):
                 for slot, n in enumerate(chunk):
                     r, key = pairs[n]
                     ridx[slot] = r
-                    pidx[slot] = pools.path_idx(key, code_cache[key])
+                    pidx[slot] = pools.path_row[key]
                     dl[slot] = deltas[n]
-                pools.sync_paths()
-                best, bi, bj, edge = seqalign.banded_pool_scores(
-                    pools.reads, pools.paths, ridx, pidx, dl, width=width)
+                best, bi, bj, edge = seqalign.banded_arena_scores(
+                    pools.arena, pools.cum_off, pools.base_ptr, pools.plen,
+                    pools.reads, ridx, pidx, dl, width=width)
                 for slot, n in enumerate(chunk):
                     if edge[slot] and not keep_edge:
                         redo_edge.append(n)
@@ -607,7 +672,13 @@ def _align_seeded(graph: Graph, reads, min_score: int):
             return redo_edge, redo_low
 
         results: Dict[int, Tuple[int, int, int, int]] = {}
-        e1, l1 = banded_round(list(range(len(pairs))), BAND, results)
+        if irregular:
+            # paths the arena mapping can't represent: exact host-array DP
+            sub = score_pairs_full([pairs[n] for n in irregular])
+            for slot, n in enumerate(irregular):
+                results[n] = sub[slot]
+        e1, l1 = banded_round([n for n, row in enumerate(rows)
+                               if row is not None], BAND, results)
         redo = e1 + l1
         if redo:
             # one widening for everything: band misses are usually small

@@ -91,6 +91,23 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.gaf_path_offsets.argtypes = [ctypes.c_void_p]
     lib.gaf_dict_names.restype = ctypes.c_void_p
     lib.gaf_dict_names.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.gfa_open.restype = ctypes.c_void_p
+    lib.gfa_open.argtypes = [ctypes.c_char_p]
+    for fn in ("gfa_seg_count", "gfa_link_count", "gfa_dict_size"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.gfa_seg_uids.restype = ctypes.POINTER(ctypes.c_int32)
+    lib.gfa_seg_uids.argtypes = [ctypes.c_void_p]
+    lib.gfa_seg_lens.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.gfa_seg_lens.argtypes = [ctypes.c_void_p]
+    lib.gfa_link_ids.restype = ctypes.POINTER(ctypes.c_int32)
+    lib.gfa_link_ids.argtypes = [ctypes.c_void_p]
+    lib.gfa_link_orients.restype = ctypes.POINTER(ctypes.c_int8)
+    lib.gfa_link_orients.argtypes = [ctypes.c_void_p]
+    lib.gfa_blob.restype = ctypes.c_void_p
+    lib.gfa_blob.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                             ctypes.POINTER(ctypes.c_int64)]
+    lib.gfa_close.argtypes = [ctypes.c_void_p]
     lib.fq_open.restype = ctypes.c_void_p
     lib.fq_open.argtypes = [ctypes.c_char_p]
     lib.fq_count.restype = ctypes.c_int64
@@ -218,6 +235,47 @@ def parse_gaf(path: str, want_tokens: bool = False):
         return numeric, qnames, paths, tails, tokens
     finally:
         lib.gaf_close(handle)
+
+
+def parse_gfa(path: str):
+    """Columnar GFA parse (threaded C++), or None without the library.
+
+    Returns (dict_names, seg_uids, seg_lens, seg_seqs, seg_tags, link_ids,
+    link_orients, link_overlaps, link_tags, other_lines): uIds follow the
+    sequential parser's first-mention-in-any-record order; rare records
+    (H/J/G/P/O) come back as raw lines for the Python layer."""
+    lib = _load()
+    if lib is None:
+        return None
+    handle = lib.gfa_open(str(path).encode())
+    if not handle:
+        return None
+    try:
+        ns = lib.gfa_seg_count(handle)
+        nl = lib.gfa_link_count(handle)
+        out_len = ctypes.c_int64()
+
+        def blob(which):
+            return _blob_to_list(lib.gfa_blob(handle, which,
+                                              ctypes.byref(out_len)),
+                                 out_len.value)
+
+        seg_uids = (np.ctypeslib.as_array(lib.gfa_seg_uids(handle),
+                                          shape=(ns,)).copy()
+                    if ns else np.zeros(0, np.int32))
+        seg_lens = (np.ctypeslib.as_array(lib.gfa_seg_lens(handle),
+                                          shape=(ns,)).copy()
+                    if ns else np.zeros(0, np.int64))
+        link_ids = (np.ctypeslib.as_array(lib.gfa_link_ids(handle),
+                                          shape=(nl, 2)).copy()
+                    if nl else np.zeros((0, 2), np.int32))
+        link_orients = (np.ctypeslib.as_array(lib.gfa_link_orients(handle),
+                                              shape=(nl, 2)).copy()
+                        if nl else np.zeros((0, 2), np.int8))
+        return (blob(5), seg_uids, seg_lens, blob(0), blob(1), link_ids,
+                link_orients, blob(2), blob(3), blob(4))
+    finally:
+        lib.gfa_close(handle)
 
 
 def local_traceback(read_codes: np.ndarray, path_codes: np.ndarray,

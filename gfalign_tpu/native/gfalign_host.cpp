@@ -166,6 +166,146 @@ void parse_gaf_chunk(const char* buf, size_t begin, size_t end, GafData* out) {
 // src/main.cpp:658); 0 = use hardware_concurrency
 static int g_max_threads = 0;
 
+// ------------------------------------------------------------------- GFA
+//
+// Columnar GFA fast path (role of gfalibs' threaded readGFA, reference
+// src/input-gfalign.cpp:43-45): chunks parse S/L/E lines into columnar
+// buffers with LOCAL name dictionaries; the merge walks chunks in file
+// order re-assigning global uIds, which reproduces the Python parser's
+// first-mention-in-any-record assignment exactly (chunk ranges are
+// disjoint and ordered).  Rare records (H/J/G/P/O) pass through as raw
+// lines for the Python layer, but their NAME MENTIONS are tokenized here
+// so the uId order still matches (O groups are resolved after the full
+// parse in both implementations, so their mentions deliberately aren't).
+
+struct GfaChunk {
+  std::vector<std::string> mention_order;  // local ids, first-mention order
+  std::unordered_map<std::string, int32_t> dict;
+  std::vector<int32_t> seg_uids;           // local
+  std::vector<int64_t> seg_lens;           // explicit GFA2 length, -1 none
+  std::string seg_seqs;                    // '\n'-joined ('*' literal)
+  std::string seg_tags;                    // '\n'-joined raw tag tails
+  std::vector<int32_t> link_ids;           // 2 per link, local
+  std::vector<int8_t> link_orients;        // 2 per link, 0='+'
+  std::string link_overlaps;               // '\n'-joined
+  std::string link_tags;
+  std::string other_lines;                 // raw H/J/G/P/O lines, in order
+};
+
+struct GfaData {
+  std::vector<int32_t> seg_uids;
+  std::vector<int64_t> seg_lens;
+  std::string seg_seqs, seg_tags;
+  std::vector<int32_t> link_ids;
+  std::vector<int8_t> link_orients;
+  std::string link_overlaps, link_tags;
+  std::string other_lines;
+  std::string dict_names;  // '\n'-joined, index = global uId
+  int64_t dict_size = 0;
+  int64_t seg_count = 0, link_count = 0;
+};
+
+static int32_t gfa_uid(GfaChunk* c, const char* s, size_t n) {
+  std::string name(s, n);
+  auto it = c->dict.find(name);
+  if (it != c->dict.end()) return it->second;
+  int32_t id = static_cast<int32_t>(c->mention_order.size());
+  c->dict.emplace(name, id);
+  c->mention_order.push_back(std::move(name));
+  return id;
+}
+
+void parse_gfa_chunk(const char* buf, size_t begin, size_t end, bool is_gfa2,
+                     GfaChunk* out) {
+  size_t pos = begin;
+  // sequence bytes dominate; reserving the chunk span avoids the
+  // doubling-growth copies (first-touch pages cost ~0.65 s / 100 MB on
+  // this VM, so every avoidable copy matters)
+  out->seg_seqs.reserve(end - begin);
+  std::vector<std::pair<size_t, size_t>> cols;  // (start, len) per column
+  while (pos < end) {
+    size_t eol = pos;
+    while (eol < end && buf[eol] != '\n') eol++;
+    size_t len = eol - pos;
+    if (len > 0 && buf[pos + len - 1] == '\r') len--;
+    const char* p = buf + pos;
+    if (len == 0 || p[0] == '#') {
+      pos = eol + 1;
+      continue;
+    }
+    cols.clear();
+    size_t cstart = 0;
+    for (size_t i = 0; i <= len; i++) {
+      if (i == len || p[i] == '\t') {
+        cols.emplace_back(cstart, i - cstart);
+        cstart = i + 1;
+      }
+    }
+    auto cs = [&](size_t c) { return p + cols[c].first; };
+    auto cl = [&](size_t c) { return cols[c].second; };
+    char t = p[0];
+    if (t == 'S' && cols.size() >= 3) {
+      bool digits2 = cols.size() >= 4 && cl(2) > 0;
+      for (size_t i = 0; digits2 && i < cl(2); i++)
+        if (cs(2)[i] < '0' || cs(2)[i] > '9') digits2 = false;
+      bool gfa2 = is_gfa2 || digits2;
+      out->seg_uids.push_back(gfa_uid(out, cs(1), cl(1)));
+      size_t seq_col = gfa2 ? 3 : 2;
+      size_t tag_col = gfa2 ? 4 : 3;
+      out->seg_seqs.append(cs(seq_col), cl(seq_col));
+      out->seg_seqs.push_back('\n');
+      if (cols.size() > tag_col) {
+        size_t s = cols[tag_col].first;
+        out->seg_tags.append(p + s, len - s);
+      }
+      out->seg_tags.push_back('\n');
+      int64_t elen = -1;
+      if (gfa2) {
+        elen = 0;
+        for (size_t i = 0; i < cl(2); i++) elen = elen * 10 + (cs(2)[i] - '0');
+      }
+      out->seg_lens.push_back(elen);
+    } else if ((t == 'L' || t == 'E') && cols.size() >= 5) {
+      out->link_ids.push_back(gfa_uid(out, cs(1), cl(1)));
+      out->link_ids.push_back(gfa_uid(out, cs(3), cl(3)));
+      out->link_orients.push_back(cl(2) > 0 && cs(2)[0] == '-' ? 1 : 0);
+      out->link_orients.push_back(cl(4) > 0 && cs(4)[0] == '-' ? 1 : 0);
+      if (cols.size() > 5) {
+        out->link_overlaps.append(cs(5), cl(5));
+      } else {
+        out->link_overlaps.push_back('*');
+      }
+      out->link_overlaps.push_back('\n');
+      if (cols.size() > 6) {
+        size_t s = cols[6].first;
+        out->link_tags.append(p + s, len - s);
+      }
+      out->link_tags.push_back('\n');
+    } else {
+      // mention tokenization keeps global uId assignment exact
+      if (t == 'J' && cols.size() >= 4) {
+        gfa_uid(out, cs(1), cl(1));
+        gfa_uid(out, cs(3), cl(3));
+      } else if (t == 'G' && cols.size() >= 4) {
+        if (cl(2) > 1) gfa_uid(out, cs(2), cl(2) - 1);
+        if (cl(3) > 1) gfa_uid(out, cs(3), cl(3) - 1);
+      } else if (t == 'P' && cols.size() >= 3) {
+        const char* q = cs(2);
+        size_t qn = cl(2), i = 0;
+        while (i < qn) {
+          size_t j = i;
+          while (j < qn && q[j] != ',' && q[j] != ';') j++;
+          if (j > i + 1) gfa_uid(out, q + i, j - i - 1);  // strip +/- suffix
+          i = j + 1;
+        }
+      }
+      out->other_lines.append(p, len);
+      out->other_lines.push_back('\n');
+    }
+    pos = eol + 1;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -230,6 +370,123 @@ const char* gaf_dict_names(GafData* h, int64_t* len) {
   *len = static_cast<int64_t>(h->dict_names.size());
   return h->dict_names.data();
 }
+
+// -------------------------------------------------------------------- GFA
+
+GfaData* gfa_open(const char* path) {
+  std::string buf;
+  if (!read_file(path, buf)) return nullptr;
+  size_t n = buf.size();
+  // pre-scan H lines for VN:Z:2 (GFA2 forces the 4-column S layout even
+  // when the digit heuristic would not fire)
+  bool is_gfa2 = false;
+  for (size_t pos = 0; pos < n;) {
+    size_t eol = pos;
+    while (eol < n && buf[eol] != '\n') eol++;
+    if (eol > pos && buf[pos] == 'H') {
+      size_t i = pos;
+      while (i + 5 < eol) {
+        if (buf[i] == '\t' && buf[i + 1] == 'V' && buf[i + 2] == 'N' &&
+            buf[i + 3] == ':') {
+          size_t c = i + 4;
+          while (c < eol && buf[c] != ':') c++;
+          if (c + 1 < eol && buf[c + 1] == '2') is_gfa2 = true;
+        }
+        i++;
+      }
+    }
+    pos = eol + 1;
+  }
+  unsigned hw = g_max_threads > 0 ? (unsigned)g_max_threads
+                                  : std::thread::hardware_concurrency();
+  size_t n_chunks = hw ? hw : 4;
+  if (n < (1u << 20)) n_chunks = 1;
+  std::vector<size_t> bounds;
+  bounds.push_back(0);
+  for (size_t c = 1; c < n_chunks; c++) {
+    size_t b = n * c / n_chunks;
+    while (b < n && buf[b] != '\n') b++;
+    if (b < n) b++;
+    bounds.push_back(b);
+  }
+  bounds.push_back(n);
+  std::vector<GfaChunk> chunks(bounds.size() - 1);
+  std::vector<std::thread> threads;
+  for (size_t c = 0; c + 1 < bounds.size(); c++) {
+    threads.emplace_back(parse_gfa_chunk, buf.data(), bounds[c],
+                         bounds[c + 1], is_gfa2, &chunks[c]);
+  }
+  for (auto& t : threads) t.join();
+  // merge: walking chunk-local first mentions in chunk order reproduces
+  // the sequential parser's global first-mention uId order exactly
+  GfaData* out = new GfaData();
+  {
+    size_t seqs = 0, segs = 0, links = 0, other = 0;
+    for (auto& ch : chunks) {
+      seqs += ch.seg_seqs.size();
+      segs += ch.seg_uids.size();
+      links += ch.link_ids.size();
+      other += ch.other_lines.size();
+    }
+    out->seg_seqs.reserve(seqs);
+    out->seg_uids.reserve(segs);
+    out->seg_lens.reserve(segs);
+    out->link_ids.reserve(links);
+    out->link_orients.reserve(links);
+    out->other_lines.reserve(other);
+  }
+  std::unordered_map<std::string, int32_t> dict;
+  for (auto& ch : chunks) {
+    std::vector<int32_t> remap(ch.mention_order.size());
+    for (size_t i = 0; i < ch.mention_order.size(); i++) {
+      auto& name = ch.mention_order[i];
+      auto it = dict.find(name);
+      int32_t gid;
+      if (it == dict.end()) {
+        gid = static_cast<int32_t>(out->dict_size++);
+        dict.emplace(name, gid);
+        out->dict_names += name;
+        out->dict_names.push_back('\n');
+      } else {
+        gid = it->second;
+      }
+      remap[i] = gid;
+    }
+    for (int32_t v : ch.seg_uids) out->seg_uids.push_back(remap[v]);
+    for (int32_t v : ch.link_ids) out->link_ids.push_back(remap[v]);
+    out->seg_lens.insert(out->seg_lens.end(), ch.seg_lens.begin(),
+                         ch.seg_lens.end());
+    out->link_orients.insert(out->link_orients.end(),
+                             ch.link_orients.begin(), ch.link_orients.end());
+    out->seg_seqs += ch.seg_seqs;
+    out->seg_tags += ch.seg_tags;
+    out->link_overlaps += ch.link_overlaps;
+    out->link_tags += ch.link_tags;
+    out->other_lines += ch.other_lines;
+  }
+  out->seg_count = static_cast<int64_t>(out->seg_uids.size());
+  out->link_count = static_cast<int64_t>(out->link_ids.size() / 2);
+  return out;
+}
+
+int64_t gfa_seg_count(GfaData* h) { return h->seg_count; }
+int64_t gfa_link_count(GfaData* h) { return h->link_count; }
+int64_t gfa_dict_size(GfaData* h) { return h->dict_size; }
+const int32_t* gfa_seg_uids(GfaData* h) { return h->seg_uids.data(); }
+const int64_t* gfa_seg_lens(GfaData* h) { return h->seg_lens.data(); }
+const int32_t* gfa_link_ids(GfaData* h) { return h->link_ids.data(); }
+const int8_t* gfa_link_orients(GfaData* h) { return h->link_orients.data(); }
+const char* gfa_blob(GfaData* h, int which, int64_t* len) {
+  const std::string* s = which == 0   ? &h->seg_seqs
+                         : which == 1 ? &h->seg_tags
+                         : which == 2 ? &h->link_overlaps
+                         : which == 3 ? &h->link_tags
+                         : which == 4 ? &h->other_lines
+                                      : &h->dict_names;
+  *len = static_cast<int64_t>(s->size());
+  return s->data();
+}
+void gfa_close(GfaData* h) { delete h; }
 
 // ---------------------------------------------------------------- FASTQ/A
 

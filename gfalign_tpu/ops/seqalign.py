@@ -225,68 +225,96 @@ def _jitted_banded(width: int):
     return jax.jit(functools.partial(_banded_forward, width=width))
 
 
-def banded_pool_scores(read_pool, path_pool, read_idx: np.ndarray,
-                       path_idx: np.ndarray, deltas: np.ndarray,
-                       width: int = 128):
-    """banded_pair_scores over DEVICE-RESIDENT code pools.
+def assemble_strip(arena, cum_off, base_ptr, plens, deltas, n_cols: int,
+                   shift: int, w2: int):
+    """Assemble banded strips ON DEVICE from the oriented-segment arena.
 
-    The dispatch transport on a tunnel-attached TPU uploads ~30 MB/s with
-    multi-second congestion windows; shipping (N, Lr)+(N, Lp) code arrays
-    per dispatch dominated align mode at 10k-read scale (~50 s per chunk,
-    96% of align wall time — bench/profile_align.py).  Here the pair codes
-    stay resident: `read_pool` (R, Lr) and `path_pool` (P, Lp) are jnp
-    int8 arrays uploaded once, and each dispatch ships only int32 row
-    indices + deltas (KBs).  Rows are gathered on device.
+    A candidate path is a concatenation of oriented segment slices; path
+    position x of pair n lives at arena[base_ptr[n, k] + x] where k is the
+    last step with cum_off[n, k] <= x.  strip[n, t] = path char at
+    x = t + delta_n - w2 - shift, PAD outside [0, plen).
 
-    Returns (best, bi, bj, edge) as np arrays, like banded_pair_scores.
+    arena: (A,) int8 oriented segment codes (fw + rc of every segment,
+        uploaded once — paths never ship their bytes to the device).
+    cum_off: (N, S) int32, step start offsets, padded with INT32_MAX.
+    base_ptr: (N, S) int32 (arena start - cum_off + overlap drop).
+    plens, deltas: (N,) int32.  S must be a power of two; cum_off[:, 0]
+    must be 0 (every path has a first step starting at 0)."""
+    import jax.numpy as jnp
 
-    On real TPU the anti-relayout Pallas row kernel
-    (seqalign_pallas.banded_pool_scores_pallas) is auto-selected — bit-exact
-    vs the XLA scan (tests/test_align_banded.py) and several times faster
-    at align shapes; the XLA formulation remains the CPU/fallback path."""
+    N, S = cum_off.shape
+    t = jnp.arange(n_cols, dtype=jnp.int32)
+    src = t[None, :] + deltas[:, None] - w2 - shift          # (N, n_cols)
+    valid = (src >= 0) & (src < plens[:, None])
+    srcc = jnp.clip(src, 0, None)
+    # branchless binary search: last k with cum_off[n, k] <= src
+    k = jnp.zeros_like(src)
+    step = S >> 1
+    while step:
+        probe = k + step
+        co_p = jnp.take_along_axis(cum_off, jnp.minimum(probe, S - 1), axis=1)
+        k = jnp.where((probe < S) & (co_p <= srcc), probe, k)
+        step >>= 1
+    ai = jnp.take_along_axis(base_ptr, k, axis=1) + srcc
+    codes = jnp.take(arena, jnp.clip(ai, 0, arena.shape[0] - 1), mode="clip")
+    return jnp.where(valid, codes, PAD).astype(jnp.int8)
+
+
+def banded_arena_scores(arena, cum_off_pool, base_ptr_pool, plen_pool,
+                        read_pool, read_idx, path_idx, deltas,
+                        width: int = 128):
+    """Banded pairwise scoring with device-side strip assembly: per
+    dispatch only int32 row indices + deltas leave the host; the path
+    BYTES never do (they are re-materialized from the segment arena).
+    Returns (best, bi, bj, edge) like banded_pair_scores."""
     from .nw_path import _pallas_eligible
 
     read_idx = np.asarray(read_idx, np.int32)
     path_idx = np.asarray(path_idx, np.int32)
     deltas = np.asarray(deltas, np.int32)
     if _pallas_eligible() and read_idx.shape[0] % 128 == 0:
-        from .seqalign_pallas import (banded_pool_scores_pallas,
+        from .seqalign_pallas import (banded_arena_scores_pallas,
                                       banded_shapes_fit)
 
         lr = read_pool.shape[1]
         if lr % 8 == 0 and width % 8 == 0 and banded_shapes_fit(lr, width):
-            best, bi, bj, edge = banded_pool_scores_pallas(
-                read_pool, path_pool, read_idx, path_idx, deltas, width)
-            return (np.asarray(best), np.asarray(bi), np.asarray(bj),
-                    np.asarray(edge))
-    fn = _jitted_banded_pool(width)
-    best, bi, bj, edge = fn(read_pool, path_pool, read_idx, path_idx, deltas)
-    return (np.asarray(best), np.asarray(bi), np.asarray(bj),
-            np.asarray(edge))
+            out = banded_arena_scores_pallas(
+                arena, cum_off_pool, base_ptr_pool, plen_pool, read_pool,
+                read_idx, path_idx, deltas, width)
+            return tuple(np.asarray(x) for x in out)
+    fn = _jitted_banded_arena(width)
+    out = fn(arena, cum_off_pool, base_ptr_pool, plen_pool, read_pool,
+             read_idx, path_idx, deltas)
+    return tuple(np.asarray(x) for x in out)
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_banded_pool(width: int):
+def _jitted_banded_arena(width: int):
     import jax
     import jax.numpy as jnp
 
-    def fn(read_pool, path_pool, read_idx, path_idx, deltas):
+    def fn(arena, cum_off, base_ptr, plens, read_pool, read_idx, path_idx,
+           deltas):
         rc = jnp.take(read_pool, read_idx, axis=0, mode="clip")
-        pc = jnp.take(path_pool, path_idx, axis=0, mode="clip")
-        return _banded_forward(rc, pc, deltas, width=width)
+        co = jnp.take(cum_off, path_idx, axis=0, mode="clip")
+        bp = jnp.take(base_ptr, path_idx, axis=0, mode="clip")
+        pl = jnp.take(plens, path_idx, mode="clip")
+        lr = rc.shape[1]
+        strip = assemble_strip(arena, co, bp, pl, deltas, lr + width,
+                               shift=0, w2=width // 2)
+        return _banded_forward_core(rc, strip, deltas, pl, width=width)
 
     return jax.jit(fn)
 
 
+
+
 def _banded_forward(read_codes, path_codes, deltas, *, width: int):
-    import jax
     import jax.numpy as jnp
 
-    N, Lr = read_codes.shape
+    Lr = read_codes.shape[1]
     lp = path_codes.shape[1]
     W2 = width // 2
-    uidx = jnp.arange(width, dtype=jnp.int32)
-    gj = GAP * jnp.arange(width + 1, dtype=jnp.int32)
     # strip extraction ON DEVICE (the host numpy version cost ~2 s per
     # 2048-pair round on this box): strip[n, t] = path[n, t + delta - W2]
     t = jnp.arange(Lr + width, dtype=jnp.int32)
@@ -294,6 +322,25 @@ def _banded_forward(read_codes, path_codes, deltas, *, width: int):
     ok = (src >= 0) & (src < lp)
     strip = jnp.where(ok, jnp.take_along_axis(
         path_codes, jnp.clip(src, 0, lp - 1), axis=1), PAD)
+    plens = jnp.full(read_codes.shape[:1], lp, jnp.int32)
+    return _banded_forward_core(read_codes, strip, deltas, plens, width=width)
+
+
+def _banded_forward_core(read_codes, strip, deltas, plens, *, width: int):
+    """Banded scan over a pre-extracted strip (strip[n, t] = path char at
+    position t + delta - W2, PAD outside); `plens` bounds the in-path
+    region per pair.  Cells beyond a path's true length can never win the
+    best (every move into them strictly decays), so calling this with
+    plens = padded pool width or with true path lengths yields identical
+    (best, bi, bj, edge)."""
+    import jax
+    import jax.numpy as jnp
+
+    N, Lr = read_codes.shape
+    W2 = width // 2
+    uidx = jnp.arange(width, dtype=jnp.int32)
+    gj = GAP * jnp.arange(width + 1, dtype=jnp.int32)
+    lp_col = plens.astype(jnp.int32)[:, None]
 
     # NOTE on mid-walk out-of-band detection: none is attempted in this
     # scan.  Band-edge lane values are dominated by the gap-chain "leak" of
@@ -310,7 +357,7 @@ def _banded_forward(read_codes, path_codes, deltas, *, width: int):
         win = win.astype(jnp.int32)
         # j(u) for this row: i1 + delta - W2 + u
         j_of_u = i1 + deltas[:, None] - W2 + uidx[None, :]
-        in_path = (j_of_u >= 1) & (j_of_u <= lp)
+        in_path = (j_of_u >= 1) & (j_of_u <= lp_col)
         r = r_chars[:, None]
         is_pad = (r == PAD) | (win == PAD)
         match = (~is_pad) & (r < 4) & (win < 4) & (r == win)

@@ -250,7 +250,7 @@ def banded_shapes_fit(lr: int, width: int) -> bool:
     return need <= int(VMEM_LIMIT * 0.9) and (lr + 2) * (lr + 2) < (1 << 30)
 
 
-def _banded_kernel_factory(lr: int, lp: int, width: int):
+def _banded_kernel_factory(lr: int, width: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -264,14 +264,16 @@ def _banded_kernel_factory(lr: int, lp: int, width: int):
     assert (lr + 1) * KEY_SCALE < (1 << 31)
     n_shifts = (width - 1).bit_length()   # cummax roll-doubling steps
 
-    def kernel(rc_ref, st_ref, dl_ref, out_ref):
+    def kernel(rc_ref, st_ref, dl_ref, pl_ref, out_ref):
         # rc_ref:  (1, lr, TILE_R) read codes, one PAIR per lane
         # st_ref:  (1, strip_pad, TILE_R) path strip rows (strip[t] for the
         #          pair on that lane; strip_pad = ceil8(lr + width))
         # dl_ref:  (1, 1, TILE_R) int32 deltas
+        # pl_ref:  (1, 1, TILE_R) int32 true path lengths (in-path bound)
         # out_ref: (1, 1, 4, TILE_R) int32: best, bi, u_win, edge-ignored
         kidx = jax.lax.broadcasted_iota(jnp.int32, (width, TILE_R), 0)
         delta = dl_ref[0, 0:1, :]                       # (1, TILE_R)
+        plen = pl_ref[0, 0:1, :]                        # (1, TILE_R)
         decay = (-GAP) * kidx                           # -GAP*u >= 0
 
         # lane-varying all-zero inits (cf. the cross kernel's d0 trick)
@@ -298,7 +300,7 @@ def _banded_kernel_factory(lr: int, lp: int, width: int):
                            jnp.roll(h_prev, -1, axis=0))
             c = jnp.maximum(0, jnp.maximum(h_prev + s, up + GAP))
             j_of_u = i1 + delta - W2 + kidx             # (width, TILE_R)
-            in_path = (j_of_u >= 1) & (j_of_u <= lp)
+            in_path = (j_of_u >= 1) & (j_of_u <= plen)
             c = jnp.where(in_path, c, 0)
             # horizontal max-plus chain: cummax(c - GAP*u) + GAP*u via
             # log2(width) sublane roll-doubling steps
@@ -340,37 +342,40 @@ def _banded_kernel_factory(lr: int, lp: int, width: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_banded_pool(lr: int, lp: int, width: int, r_cap: int, p_cap: int,
-                       interpret: bool = False):
-    """jit-compiled: gather pair rows from device pools, extract strips,
-    run the banded Pallas kernel, return (best, bi, bj, edge) like
+def _build_banded_arena(lr: int, width: int, interpret: bool = False):
+    """jit-compiled: gather pair metadata, assemble strips on device from
+    the oriented-segment arena (path BYTES never leave the device), run
+    the banded Pallas kernel; returns (best, bi, bj, edge) like
     ops.seqalign._banded_forward."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    kernel = _banded_kernel_factory(lr, lp, width)
+    from .seqalign import assemble_strip
+
+    kernel = _banded_kernel_factory(lr, width)
     strip_pad = (-(-(lr + width) // 8)) * 8 + 8  # +8: tail block slack
     W2 = width // 2
 
     @jax.jit
-    def fn(read_pool, path_pool, read_idx, path_idx, deltas):
+    def fn(arena, cum_off, base_ptr, plens, read_pool, read_idx, path_idx,
+           deltas):
         N = read_idx.shape[0]
         T = N // TILE_R
         rc = jnp.take(read_pool, read_idx, axis=0,
                       mode="clip").astype(jnp.int32)          # (N, lr)
-        pc = jnp.take(path_pool, path_idx, axis=0, mode="clip")
-        # st row t = strip[t - 1]: one leading pad row keeps the in-kernel
-        # tail fetches 8-aligned (see the kernel's win0 comment)
-        t = jnp.arange(strip_pad, dtype=jnp.int32)
-        src = t[None, :] + deltas[:, None] - W2 - 1
-        ok = (src >= 0) & (src < lp)
-        strip = jnp.where(ok, jnp.take_along_axis(
-            pc, jnp.clip(src, 0, lp - 1), axis=1), PAD).astype(jnp.int32)
+        co = jnp.take(cum_off, path_idx, axis=0, mode="clip")
+        bp = jnp.take(base_ptr, path_idx, axis=0, mode="clip")
+        plv = jnp.take(plens, path_idx, mode="clip")
+        # st row t = strip[t - 1] (shift=1): one leading pad row keeps the
+        # in-kernel tail fetches 8-aligned (see the kernel's win0 comment)
+        strip = assemble_strip(arena, co, bp, plv, deltas, strip_pad,
+                               shift=1, w2=W2).astype(jnp.int32)
         rck = rc.reshape(T, TILE_R, lr).transpose(0, 2, 1)
         stk = strip.reshape(T, TILE_R, strip_pad).transpose(0, 2, 1)
         dlk = deltas.astype(jnp.int32).reshape(T, 1, TILE_R)
+        plk = plv.astype(jnp.int32).reshape(T, 1, TILE_R)
         out = pl.pallas_call(
             kernel,
             grid=(T,),
@@ -381,13 +386,15 @@ def _build_banded_pool(lr: int, lp: int, width: int, r_cap: int, p_cap: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, TILE_R), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, TILE_R), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, 1, 4, TILE_R), lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((T, 1, 4, TILE_R), jnp.int32),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
             interpret=interpret,
-        )(rck, stk, dlk)
+        )(rck, stk, dlk, plk)
         out = out.transpose(0, 3, 1, 2).reshape(N, 4)
         best, bi, u_win = out[:, 0], out[:, 1], out[:, 2]
         okv = best > 0
@@ -398,16 +405,16 @@ def _build_banded_pool(lr: int, lp: int, width: int, r_cap: int, p_cap: int,
     return fn
 
 
-def banded_pool_scores_pallas(read_pool, path_pool, read_idx, path_idx,
-                              deltas, width: int, interpret: bool = False):
-    """Drop-in for the XLA pool-gather banded scorer (seqalign.
-    banded_pool_scores device path): (best, bi, bj, edge) over pairs
-    (read_pool[read_idx[n]], path_pool[path_idx[n]]).  N must be a
-    multiple of TILE_R."""
-    r_cap, lr = read_pool.shape
-    p_cap, lp = path_pool.shape
-    fn = _build_banded_pool(lr, lp, width, r_cap, p_cap, interpret)
-    return fn(read_pool, path_pool, read_idx, path_idx, deltas)
+def banded_arena_scores_pallas(arena, cum_off, base_ptr, plens, read_pool,
+                               read_idx, path_idx, deltas, width: int,
+                               interpret: bool = False):
+    """Drop-in for seqalign._jitted_banded_arena's device path: (best, bi,
+    bj, edge) over pairs (read_pool[read_idx[n]], assembled path
+    path_idx[n]).  N must be a multiple of TILE_R."""
+    lr = read_pool.shape[1]
+    fn = _build_banded_arena(lr, width, interpret)
+    return fn(arena, cum_off, base_ptr, plens, read_pool, read_idx,
+              path_idx, deltas)
 
 
 @functools.lru_cache(maxsize=None)

@@ -168,41 +168,133 @@ class TestBandedTraceback:
         assert seqalign.banded_traceback(read, path, 50, 60, 500, 64, 50) is None
 
 
-def test_banded_pool_pallas_parity():
-    """The Pallas banded pool kernel (interpret mode on CPU) is bit-exact
-    vs the XLA banded scan over the same gathered pairs, including
-    tie-breaks, PAD tails, off-band deltas, and repeated motifs."""
+def _mini_arena_fixture():
+    """A small graph + registered candidate paths (incl. overlap drops and
+    reverse orientations) + reads, via the production _DevicePools."""
+    import random as pyrandom
+
+    from gfalign_tpu.engine.graph_align import (_DevicePools, build_oriented,
+                                                overlap_table)
+    from gfalign_tpu.graph.model import Graph, Link
+    from gfalign_tpu.io.fastq import encode_seq
+
+    rng = pyrandom.Random(23)
+    graph = Graph()
+    lens = [40, 55, 33, 64, 48, 37]
+    for i, ln in enumerate(lens):
+        graph.add_segment(f"m{i}", "".join(rng.choice("ACGT")
+                                           for _ in range(ln)))
+    graph.links.append(Link(0, "+", 1, "+", "3M"))   # overlap drop
+    graph.links.append(Link(1, "+", 2, "+", "0M"))
+    graph.links.append(Link(2, "+", 3, "+", "5M"))
+    graph.links.append(Link(3, "+", 4, "+", "0M"))
+    graph.links.append(Link(4, "+", 5, "+", "2M"))
+    lut = overlap_table(graph)
+    step_sets = [
+        [(0, "+"), (1, "+"), (2, "+")],
+        [(1, "+"), (2, "+"), (3, "+"), (4, "+")],
+        [(5, "-"), (4, "-"), (3, "-")],              # reverse walk
+        [(2, "+"), (3, "+"), (4, "+"), (5, "+")],
+        [(3, "+")],                                  # single step
+    ]
+    ops = [build_oriented(graph, s, lut) for s in step_sets]
+    nprng = np.random.default_rng(31)
+    reads = []
+    for i, op in enumerate(ops):
+        codes = encode_seq(op.seq)
+        a = int(nprng.integers(0, max(1, len(codes) - 30)))
+        seq = codes[a:a + 40].copy()
+        if len(seq) > 10:
+            seq[5] = (seq[5] + 1) % 4
+        reads.append(seq)
+    reads.append(nprng.integers(0, 4, 24).astype(np.int8))  # junk read
+    pools = _DevicePools(reads, graph)
+    rows = [pools.path_idx(tuple(s), op)
+            for s, op in zip(step_sets, ops)]
+    pools.sync_paths()
+    assert all(r is not None for r in rows)
+    return pools, ops, reads, rows
+
+
+def test_arena_strip_assembly_matches_host():
+    """Device-assembled strips (segment arena + per-path step tables) are
+    byte-equal to strips sliced from the host-built path sequences."""
+    from gfalign_tpu.io.fastq import encode_seq
+    from gfalign_tpu.ops.seqalign import assemble_strip
+
+    pools, ops, reads, rows = _mini_arena_fixture()
+    n_cols, w2, shift = 96, 16, 1
+    N = 64
+    rng = np.random.default_rng(7)
+    pidx = rng.integers(0, len(rows), N).astype(np.int32)
+    deltas = rng.integers(-30, 120, N).astype(np.int32)
+    import jax.numpy as jnp
+    co = jnp.take(pools.cum_off, pidx, axis=0)
+    bp = jnp.take(pools.base_ptr, pidx, axis=0)
+    pl = jnp.take(pools.plen, pidx)
+    got = np.asarray(assemble_strip(pools.arena, co, bp, pl, deltas,
+                                    n_cols, shift, w2))
+    for n in range(N):
+        codes = encode_seq(ops[pidx[n]].seq)
+        want = np.full(n_cols, PAD, np.int8)
+        for t in range(n_cols):
+            x = t + int(deltas[n]) - w2 - shift
+            if 0 <= x < len(codes):
+                want[t] = codes[x]
+        np.testing.assert_array_equal(got[n], want, err_msg=f"pair {n}")
+
+
+def test_banded_arena_scores_matches_host_arrays():
+    """banded_arena_scores (XLA path on CPU) == _banded_forward over the
+    equivalent host-gathered (read, path) code arrays."""
     import jax
 
-    from gfalign_tpu.ops.seqalign import _banded_forward
-    from gfalign_tpu.ops.seqalign_pallas import banded_pool_scores_pallas
+    from gfalign_tpu.io.fastq import encode_seq
+    from gfalign_tpu.ops.seqalign import _banded_forward, banded_arena_scores
 
-    rng = np.random.default_rng(31)
-    lr, lp, W, N = 64, 192, 16, 128
-    read_pool = np.full((16, lr), PAD, np.int8)
-    path_pool = rng.integers(0, 4, size=(8, lp)).astype(np.int8)
-    path_pool[5, 100:] = PAD                       # short path row
-    motif = rng.integers(0, 4, size=10).astype(np.int8)
-    path_pool[6] = np.tile(motif, -(-lp // 10))[:lp]   # tie-rich repeats
-    for r in range(16):
-        rl = int(rng.integers(8, lr + 1))
-        p = int(rng.integers(0, 8))
-        start = int(rng.integers(0, lp - lr))
-        seq = path_pool[p, start:start + rl].copy()
-        for pos in range(2, rl - 2, 9):
-            seq[pos] = (seq[pos] + 1) % 4
-        read_pool[r, :rl] = seq
-    read_idx = rng.integers(0, 16, size=N).astype(np.int32)
-    path_idx = rng.integers(0, 8, size=N).astype(np.int32)
-    deltas = rng.integers(-40, 200, size=N).astype(np.int32)  # incl off-band
-
-    rc = read_pool[read_idx]
-    pc = path_pool[path_idx]
-    xb, xi, xj, xe = [np.asarray(v) for v in jax.jit(
+    pools, ops, reads, rows = _mini_arena_fixture()
+    W, N = 16, 128
+    rng = np.random.default_rng(11)
+    ridx = rng.integers(0, len(reads), N).astype(np.int32)
+    pidx_t = rng.integers(0, len(rows), N)
+    pidx = np.array([rows[i] for i in pidx_t], np.int32)
+    deltas = rng.integers(-40, 160, N).astype(np.int32)
+    got = [np.asarray(v) for v in banded_arena_scores(
+        pools.arena, pools.cum_off, pools.base_ptr, pools.plen,
+        pools.reads, ridx, pidx, deltas, width=W)]
+    lr = pools.lr_cap
+    lp = max(len(op.seq) for op in ops)
+    rc = np.full((N, lr), PAD, np.int8)
+    pc = np.full((N, lp), PAD, np.int8)
+    for n in range(N):
+        rd = reads[ridx[n]]
+        rc[n, :len(rd)] = rd
+        codes = encode_seq(ops[pidx_t[n]].seq)
+        pc[n, :len(codes)] = codes
+    want = [np.asarray(v) for v in jax.jit(
         lambda r, p, d: _banded_forward(r, p, d, width=W))(rc, pc, deltas)]
-    pb, pi, pj, pe = [np.asarray(v) for v in banded_pool_scores_pallas(
-        read_pool, path_pool, read_idx, path_idx, deltas, W, interpret=True)]
-    np.testing.assert_array_equal(pb, xb)
-    np.testing.assert_array_equal(pi, xi)
-    np.testing.assert_array_equal(pj, xj)
-    np.testing.assert_array_equal(pe, xe)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_banded_arena_pallas_parity():
+    """The Pallas banded arena kernel (interpret mode on CPU) is bit-exact
+    vs the XLA arena scan, including tie-breaks, PADs, and off-band
+    deltas."""
+    from gfalign_tpu.ops.seqalign import _jitted_banded_arena
+    from gfalign_tpu.ops.seqalign_pallas import banded_arena_scores_pallas
+
+    pools, ops, reads, rows = _mini_arena_fixture()
+    W, N = 16, 128
+    rng = np.random.default_rng(13)
+    ridx = rng.integers(0, len(reads), N).astype(np.int32)
+    pidx = np.array([rows[int(i)] for i in rng.integers(0, len(rows), N)],
+                    np.int32)
+    deltas = rng.integers(-40, 160, N).astype(np.int32)
+    args = (pools.arena, pools.cum_off, pools.base_ptr, pools.plen,
+            pools.reads, ridx, pidx, deltas)
+    want = [np.asarray(v) for v in _jitted_banded_arena(W)(*args)]
+    got = [np.asarray(v) for v in banded_arena_scores_pallas(
+        *args, W, interpret=True)]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)

@@ -141,3 +141,64 @@ def test_nw_path_walk_matches_oracle():
         assert score == oracle.score
         assert (_alignment_string_from_ops(a, b, ops, id2n)
                 == _alignment_string(oracle.a, oracle.b, id2n))
+
+
+def _graph_fingerprint(g):
+    return (
+        [(s.name if s else None, s.seq if s else None,
+          s.length if s else None, tuple(s.tags) if s else None)
+         for s in g.segments],
+        dict(g.name_to_id),
+        [(e.s1, e.or1, e.s2, e.or2, e.overlap, tuple(e.tags))
+         for e in g.links],
+        [(x.gid, x.s1, x.or1, x.s2, x.or2, x.dist, tuple(x.tags))
+         for x in g.gaps],
+        [(p.name, tuple(p.steps), tuple(p.seps)) for p in g.paths],
+        list(g.header_tags),
+    )
+
+
+@pytest.mark.parametrize("name", ["random1.gfa", "random2.gfa",
+                                  "random3.gfa", "random2.gfa2"])
+def test_native_gfa_matches_python(name):
+    from gfalign_tpu.io.gfa import _read_gfa_native, parse_gfa_lines
+    from gfalign_tpu.io.stream import iter_lines
+
+    path = REFERENCE / "testFiles" / name
+    if not path.exists():
+        pytest.skip("fixture not mounted")
+    got = _read_gfa_native(str(path))
+    if got is None:
+        pytest.skip("native library unavailable")
+    want = parse_gfa_lines(iter_lines(str(path)))
+    # force lazy segment materialization on both sides
+    for g in (got, want):
+        for sid in range(g.n_segments):
+            g.segment(sid)
+    assert _graph_fingerprint(got) == _graph_fingerprint(want)
+
+
+def test_native_gfa_fuzz_matches_python(tmp_path):
+    import random
+
+    from gfalign_tpu.io.gfa import _read_gfa_native, parse_gfa_lines
+    from tests.test_gfa_fuzz import random_gfa
+
+    for seed in range(12):
+        rng = random.Random(1000 + seed)
+        lines = random_gfa(rng)
+        # pad past the 1 MB single-chunk threshold on some seeds so the
+        # threaded chunk/merge path is exercised too
+        if seed % 3 == 0:
+            filler = "".join(rng.choice("ACGT") for _ in range(1200))
+            lines += [f"S\tbig{i}\t{filler}" for i in range(1200)]
+        p = tmp_path / f"fz{seed}.gfa"
+        p.write_text("\n".join(lines) + "\n")
+        got = _read_gfa_native(str(p))
+        if got is None:
+            pytest.skip("native library unavailable")
+        want = parse_gfa_lines(lines)
+        for g in (got, want):
+            for sid in range(g.n_segments):
+                g.segment(sid)
+        assert _graph_fingerprint(got) == _graph_fingerprint(want), seed

@@ -73,28 +73,52 @@ def main():
     check("seqalign pallas pairwise == xla (device)",
           all(np.array_equal(g, w) for g, w in zip(got, want)))
 
-    # 2b. banded pool kernel (the seeded align production path): Pallas ==
-    # XLA scan over the same device pools, with ties / PADs / off-band
-    # deltas in the mix
-    from gfalign_tpu.ops.seqalign import _jitted_banded_pool
-    from gfalign_tpu.ops.seqalign_pallas import banded_pool_scores_pallas
+    # 2b. banded arena kernel (the seeded align production path): Pallas ==
+    # XLA scan over the same device-assembled strips, with overlap drops,
+    # reverse orientations, ties, PADs, and off-band deltas in the mix
+    import random as pyrandom
 
-    lr, lp, W, Np = 256, 512, 64, 256
-    read_pool = rng.integers(0, 6, size=(32, lr)).astype(np.int8)
-    path_pool = rng.integers(0, 4, size=(16, lp)).astype(np.int8)
-    read_pool[3, 100:] = 5
-    path_pool[2, 300:] = 5
-    read_pool[7] = np.tile(path_pool[1, :16], lr // 16)  # tie-rich
-    ridx = rng.integers(0, 32, size=Np).astype(np.int32)
-    pidx = rng.integers(0, 16, size=Np).astype(np.int32)
+    from gfalign_tpu.engine.graph_align import (_DevicePools, build_oriented,
+                                                overlap_table)
+    from gfalign_tpu.graph.model import Graph, Link
+    from gfalign_tpu.io.fastq import encode_seq
+    from gfalign_tpu.ops.seqalign import _jitted_banded_arena
+    from gfalign_tpu.ops.seqalign_pallas import banded_arena_scores_pallas
+
+    prng = pyrandom.Random(23)
+    g = Graph()
+    for i, ln in enumerate([140, 155, 133, 164, 148, 137]):
+        g.add_segment(f"m{i}", "".join(prng.choice("ACGT")
+                                       for _ in range(ln)))
+    for i, ov in enumerate(["3M", "0M", "5M", "0M", "2M"]):
+        g.links.append(Link(i, "+", i + 1, "+", ov))
+    lut = overlap_table(g)
+    step_sets = [[(0, "+"), (1, "+"), (2, "+")],
+                 [(1, "+"), (2, "+"), (3, "+"), (4, "+")],
+                 [(5, "-"), (4, "-"), (3, "-")],
+                 [(2, "+"), (3, "+"), (4, "+"), (5, "+")]]
+    ops_b = [build_oriented(g, s, lut) for s in step_sets]
+    smoke_reads = []
+    for op in ops_b:
+        codes = encode_seq(op.seq)
+        seq = codes[20:148].copy()
+        seq[5] = (seq[5] + 1) % 4
+        smoke_reads.append(seq)
+    pools = _DevicePools(smoke_reads, g)
+    rows = [pools.path_idx(tuple(s), op)
+            for s, op in zip(step_sets, ops_b)]
+    pools.sync_paths()
+    W, Np = 64, 256
+    ridx = rng.integers(0, len(smoke_reads), size=Np).astype(np.int32)
+    pidx = np.array([rows[int(i)]
+                     for i in rng.integers(0, len(rows), size=Np)], np.int32)
     dl = rng.integers(-80, 400, size=Np).astype(np.int32)
-    rp_d, pp_d = jnp.asarray(read_pool), jnp.asarray(path_pool)
-    got = [np.asarray(x) for x in banded_pool_scores_pallas(
-        rp_d, pp_d, ridx, pidx, dl, W)]
-    want = [np.asarray(x) for x in _jitted_banded_pool(W)(
-        rp_d, pp_d, ridx, pidx, dl)]
-    check("banded pool pallas == xla (device)",
-          all(np.array_equal(g, w) for g, w in zip(got, want)))
+    args = (pools.arena, pools.cum_off, pools.base_ptr, pools.plen,
+            pools.reads, ridx, pidx, dl)
+    got = [np.asarray(x) for x in banded_arena_scores_pallas(*args, W)]
+    want = [np.asarray(x) for x in _jitted_banded_arena(W)(*args)]
+    check("banded arena pallas == xla (device)",
+          all(np.array_equal(gg, w) for gg, w in zip(got, want)))
 
     # 3. shard_map frontier step, Pallas vs XLA on a real-chip mesh
     from jax.sharding import Mesh
