@@ -40,6 +40,47 @@ from ..utils.log import lg
 MIN_SCORE = 20          # reject spurious local hits (hifi preset)
 
 
+@dataclass
+class AlignParams:
+    """Tunable surface of the in-house aligner — the equivalents of the
+    reference's GraphAligner preset knobs (src/main.cpp:177-182):
+
+      * min_score       ~ --min-alignment-score: reject weaker placements;
+      * seed_k          ~ --seeds-mxm-length (inverted sense): anchor
+                          k-mer length — SHORTER seeds survive higher
+                          error rates (p_clean ≈ (1-e)^k per position);
+      * max_anchors / max_paths_per_anchor: seed-count budget per read;
+      * band / wide_band ~ --precise-clipping stringency: the banded DP
+                          width around the anchor diagonal — wider bands
+                          tolerate the larger indel drift of noisy reads
+                          before the full-DP safety net fires.
+
+    Values must keep band/wide_band multiples of 8 (Pallas sublane
+    alignment)."""
+
+    min_score: int = MIN_SCORE
+    seed_k: int = 15
+    max_anchors: int = 12
+    max_paths_per_anchor: int = 16
+    band: int = 128
+    wide_band: int = 512
+
+
+# Reference preset table (src/main.cpp:178-182): hifi = GraphAligner
+# '-x vg'; CLR adds '--seeds-mxm-length 1000 --min-alignment-score 1000
+# --precise-clipping 0.75' for ~10-15%-error reads.  The in-house CLR
+# mapping: shorter anchors (13-mers keep ~20% clean-seed odds per
+# position at 12% error vs ~4% for 15-mers over both error flanks), more
+# of them, a 4x-wider starting band for indel drift, and a higher score
+# floor (tests/test_align_clr.py validates placement at 5% and 12%
+# error).
+PRESETS = {
+    "hifi": AlignParams(),
+    "CLR": AlignParams(min_score=50, seed_k=13, max_anchors=16,
+                       max_paths_per_anchor=16, band=512, wide_band=1024),
+}
+
+
 class CapAudit:
     """Counts every place a bounding cap actually dropped candidate work, so
     no truncation is silent: align_reads reports the tallies on stderr and
@@ -489,20 +530,26 @@ class _DevicePools:
 
 
 def align_reads(graph: Graph, reads: Sequence[Tuple[str, str]],
-                min_score: int = MIN_SCORE) -> List[Tuple[str, int, List[GafHit]]]:
+                min_score: int = MIN_SCORE,
+                params: Optional[AlignParams] = None) -> List[Tuple[str, int, List[GafHit]]]:
     """Returns [(read name, read length, hits sorted by descending score)].
 
     Small graphs use exact exhaustive path enumeration; larger graphs use
-    k-mer seed-and-extend candidate generation (engine/seeding.py)."""
+    k-mer seed-and-extend candidate generation (engine/seeding.py).
+    `params` carries the preset-tunable surface (AlignParams); when given
+    it supersedes `min_score`."""
+    if params is None:
+        params = AlignParams(min_score=min_score)
     if graph.n_segments > SEED_THRESHOLD:
-        return _align_seeded(graph, reads, min_score)
+        return _align_seeded(graph, reads, params)
     audit = CapAudit()
     paths = enumerate_paths(graph, audit=audit)
     audit.report("align(exhaustive)")
-    return _align_with_paths(graph, reads, paths, min_score)
+    return _align_with_paths(graph, reads, paths, params.min_score)
 
 
-def _align_seeded(graph: Graph, reads, min_score: int):
+def _align_seeded(graph: Graph, reads, params: AlignParams):
+    min_score = params.min_score
     """Seeded mode scores (read, candidate-path) PAIRS, not the read x path
     cross product: each read's anchors nominate a handful of paths, so the
     work is O(sum of candidates) with pow2 shape buckets."""
@@ -512,9 +559,7 @@ def _align_seeded(graph: Graph, reads, min_score: int):
     from .seeding import (KmerIndex, anchors_with_diag_batch,
                           paths_around_anchor)
 
-    from .seeding import MAX_ANCHORS_PER_READ, MAX_PATHS_PER_ANCHOR
-
-    index = KmerIndex(graph)
+    index = KmerIndex(graph, k=params.seed_k)
     lut = overlap_table(graph)
     path_cache: Dict[tuple, OrientedPath] = {}
     code_cache: Dict[tuple, np.ndarray] = {}
@@ -553,9 +598,9 @@ def _align_seeded(graph: Graph, reads, min_score: int):
     read_audits = [CapAudit() for _ in reads]
     anchor_lists = anchors_with_diag_batch(
         index, [encode_seq(seq) for _, seq in reads],
-        MAX_ANCHORS_PER_READ, audits=read_audits)
+        params.max_anchors, audits=read_audits)
     cand_lists: List[List[tuple]] = [
-        gen_candidates(r, seq, anchor_lists[r], MAX_PATHS_PER_ANCHOR,
+        gen_candidates(r, seq, anchor_lists[r], params.max_paths_per_anchor,
                        read_audits[r])
         for r, (_, seq) in enumerate(reads)]
 
@@ -607,8 +652,8 @@ def _align_seeded(graph: Graph, reads, min_score: int):
                               0)
         return results
 
-    BAND = 128
-    WIDE_BAND = 512
+    BAND = params.band
+    WIDE_BAND = params.wide_band
 
     def score_pairs(pairs):
         """Banded-first scoring: anchors supply the expected diagonal, so
@@ -778,12 +823,12 @@ def _align_seeded(graph: Graph, reads, min_score: int):
     if retry:
         retry_anchors = anchors_with_diag_batch(
             index, [encode_seq(reads[r][1]) for r in retry],
-            4 * MAX_ANCHORS_PER_READ)
+            4 * params.max_anchors)
         for i, r in enumerate(retry):
             read_audits[r].hit("reads_retried_with_raised_caps")
             cand_lists[r] = gen_candidates(
                 r, reads[r][1], retry_anchors[i],
-                4 * MAX_PATHS_PER_ANCHOR, CapAudit())
+                4 * params.max_paths_per_anchor, CapAudit())
         placement_rounds([r for r in retry if cand_lists[r]])
 
     audit = CapAudit()
@@ -916,8 +961,12 @@ def run_graph_aligner(graph: Graph, read_files, out_file: str,
         print("align: missing input graph (-f)", file=sys.stderr)
         raise SystemExit(1)
     reads = load_reads(read_files)
-    min_score = MIN_SCORE if preset != "CLR" else 50
-    results = align_reads(graph, reads, min_score)
+    params = PRESETS.get(preset)
+    if params is None:
+        # reference parity: unknown preset names abort (src/main.cpp:185-188)
+        print(f"Could not find preset: {preset}")
+        raise SystemExit(1)
+    results = align_reads(graph, reads, params=params)
     n_hits = sum(len(h) for _, _, h in results)
     lg.verbose(f"Aligned {len(reads)} reads: {n_hits} records")
     if out_file:
