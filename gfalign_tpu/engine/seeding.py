@@ -86,6 +86,25 @@ class KmerIndex:
             self.sids = np.empty(0, np.int32)
             self.orients = np.empty(0, np.int8)
             self.offs = np.empty(0, np.int32)
+        # CSR over UNIQUE k-mers: one searchsorted on the (smaller) unique
+        # array replaces the left+right pair on the full postings — the
+        # postings search was 7.4 s of a 57 s 1k-read align pass
+        self.uniq, starts = np.unique(self.kmers, return_index=True)
+        self.starts = np.concatenate(
+            [starts, [len(self.kmers)]]).astype(np.int64)
+
+    def _posting_ranges(self, q: np.ndarray):
+        """(lo, cnt) posting ranges for query k-mer codes q (vectorized;
+        absent k-mers get cnt 0)."""
+        if not len(self.uniq):
+            z = np.zeros(len(q), np.int64)
+            return z, z
+        j = np.searchsorted(self.uniq, q)
+        jj = np.minimum(j, len(self.uniq) - 1)
+        hit = self.uniq[jj] == q
+        lo = self.starts[jj]
+        cnt = np.where(hit, self.starts[jj + 1] - lo, 0)
+        return lo, cnt
 
     def anchors(self, read_codes: np.ndarray,
                 max_anchors: int = MAX_ANCHORS_PER_READ) -> List[Tuple[int, str]]:
@@ -109,9 +128,7 @@ class KmerIndex:
         valid = kms >= 0
         pos = np.nonzero(valid)[0]
         q = kms[valid]
-        lo = np.searchsorted(self.kmers, q, "left")
-        hi = np.searchsorted(self.kmers, q, "right")
-        cnt = hi - lo
+        lo, cnt = self._posting_ranges(q)
         total = int(cnt.sum())
         if total == 0:
             return []
@@ -186,9 +203,7 @@ def anchors_with_diag_batch(index: KmerIndex,
     q = np.concatenate(qs)
     pos = np.concatenate(poss)
     rid = np.concatenate(rids)
-    lo = np.searchsorted(index.kmers, q, "left")
-    hi = np.searchsorted(index.kmers, q, "right")
-    cnt = hi - lo
+    lo, cnt = index._posting_ranges(q)
     total = int(cnt.sum())
     if total == 0:
         return out

@@ -247,15 +247,17 @@ def assemble_strip(arena, cum_off, base_ptr, plens, deltas, n_cols: int,
     src = t[None, :] + deltas[:, None] - w2 - shift          # (N, n_cols)
     valid = (src >= 0) & (src < plens[:, None])
     srcc = jnp.clip(src, 0, None)
-    # branchless binary search: last k with cum_off[n, k] <= src
-    k = jnp.zeros_like(src)
-    step = S >> 1
-    while step:
-        probe = k + step
-        co_p = jnp.take_along_axis(cum_off, jnp.minimum(probe, S - 1), axis=1)
-        k = jnp.where((probe < S) & (co_p <= srcc), probe, k)
-        step >>= 1
-    ai = jnp.take_along_axis(base_ptr, k, axis=1) + srcc
+    # step selection: last k with cum_off[n, k] <= src, by S broadcast
+    # compare-selects (pure VPU work).  The original log2(S) binary search
+    # via take_along_axis cost 2.3 s per 4096-pair chunk on TPU — gathers
+    # are serialized there; these selects + the single arena take below
+    # run the same chunk in 0.30 s (bench/micro_strip.py).  cum_off pad
+    # rows are INT32_MAX so they never win the select.
+    bsel = jnp.broadcast_to(base_ptr[:, 0:1], src.shape)
+    for s in range(1, S):
+        bsel = jnp.where(cum_off[:, s:s + 1] <= srcc, base_ptr[:, s:s + 1],
+                         bsel)
+    ai = bsel + srcc
     codes = jnp.take(arena, jnp.clip(ai, 0, arena.shape[0] - 1), mode="clip")
     return jnp.where(valid, codes, PAD).astype(jnp.int8)
 
