@@ -11,10 +11,10 @@ from gfalign_tpu.engine.alignments import AlignmentSet
 from gfalign_tpu.engine.search import search
 from gfalign_tpu.io.gfa import read_gfa
 
-graph = read_gfa('bench/.scaling/graph.gfa')
+graph = read_gfa('/root/repo/bench/.scaling/graph.gfa')
 aln = AlignmentSet()
 shard = (pid, nproc) if nproc > 1 else None
-aln.load('bench/.scaling/tangle.gaf', shard=shard, shard_by="qname")
+aln.load('/root/repo/bench/.scaling/tangle.gaf', shard=shard, shard_by="qname")
 out = io.StringIO()
 if nproc > 1:
     from gfalign_tpu.engine.evaluate import distributed_evaluator
@@ -29,7 +29,7 @@ def evaluate_fn(*a, **kw):
     finally:
         eval_s[0] += time.perf_counter() - t
 t0 = time.perf_counter()
-search(graph, aln, 'bench/.scaling/search_nodelist.tsv', '497', '504',
+search(graph, aln, '/root/repo/bench/.scaling/search_nodelist.tsv', '497', '504',
        max_steps=2000, out=out, evaluate_fn=evaluate_fn)
 dt = time.perf_counter() - t0
 import hashlib

@@ -14,6 +14,7 @@ arrays); per-candidate filtering is then one vectorized membership lookup.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import List, Sequence, Tuple, Union
 
@@ -164,10 +165,15 @@ def evaluate_path_printing(candidate: Sequence[Step],
     (reference evalPath mode, src/eval.cpp:100-105): the read row of the
     pairwise alignment, then qName and best score, tab-separated.
 
-    Per-read work dispatches to the native C++ walk (nw_path_traceback,
-    ~100x the Python oracle's row loop); the oracle remains the fallback
-    and the equality test (tests/test_nw.py)."""
+    Orientation/score selection runs as ONE batched device dispatch (fw and
+    rc rows stacked — the same kernel the search frontier uses); the host
+    then walks ONLY the chosen orientation per read for the printed line,
+    via the native C++ walk (nw_path_traceback, ~100x the Python oracle's
+    row loop).  Kernel/walk score equality is enforced by tests/test_nw.py
+    + tests/test_native.py; the Python oracle remains the no-native
+    fallback."""
     from ..io import native
+    from ..ops.nw_path import encode_path_batch, pad_pow2
 
     result = PathScore()
     cand = [Step(s[0], s[1]) for s in candidate]
@@ -178,30 +184,49 @@ def evaluate_path_printing(candidate: Sequence[Step],
         return np.array([s.id * 4 + ORIENT_CODE[s.orientation] for s in path],
                         np.int64)
 
+    rps = [[Step(s[0], s[1]) for s in rp] for rp in read_paths]
+    rcps = [revcomp_path(rp) for rp in rps]
+    R = len(rps)
+    if R == 0:
+        return result
+    # one (1, 2R) device dispatch scores every read in both orientations
+    rows = rps + rcps
+    m_max = pad_pow2(max(len(r) for r in rows))
+    ak, al = encode_path_batch([cand], pad_pow2(len(cand)), pad_key=-1)
+    pad_rows = (-len(rows)) % 128
+    bk, bl = encode_path_batch(rows + [[] for _ in range(pad_rows)],
+                               m_max, pad_key=-2)
+    scores = np.asarray(_jitted_fw_scores()(ak, al, bk, bl))[0]
+    fw_s, rc_s = scores[:R], scores[R:2 * R]
+
     native_ok = native.available()
-    for rp, qname in zip(read_paths, read_names):
-        rp = [Step(s[0], s[1]) for s in rp]
-        rcp = revcomp_path(rp)
-        if native_ok:
-            fw = native.nw_path_walk(a_keys, _keys(rp))
-            rc = native.nw_path_walk(a_keys, _keys(rcp))
-        else:
-            fw = rc = None
-        if fw is None or rc is None:
-            afw = nw_align_oracle(cand, rp)
-            arc = nw_align_oracle(cand, rcp)
-            best = afw if afw.score > arc.score else arc  # tie -> rc
+    for i, qname in enumerate(read_names):
+        use_fw = fw_s[i] > rc_s[i]                       # tie -> rc
+        b = rps[i] if use_fw else rcps[i]
+        score = int(fw_s[i] if use_fw else rc_s[i])
+        walked = native.nw_path_walk(a_keys, _keys(b)) if native_ok else None
+        if walked is None:
+            best = nw_align_oracle(cand, b)
             line = _alignment_string(best.a, best.b, id_to_name)
-            score = best.score
         else:
-            (score, ops), b = (fw, rp) if fw[0] > rc[0] else (rc, rcp)
-            line = _alignment_string_from_ops(cand, b, ops, id_to_name)
+            line = _alignment_string_from_ops(cand, b, walked[1], id_to_name)
         if score < 0:
             result.bad += 1
         else:
             result.good += 1
         out.write(line + "\t" + qname + "\t" + str(score) + "\n")
     return result
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_fw_scores():
+    """jitted forward-only pair scores (no internal fw/rc stacking — the
+    caller supplies both orientations as separate rows)."""
+    import jax
+
+    from ..ops.nw_path import nw_pair_scores
+
+    return jax.jit(nw_pair_scores)
 
 
 def _alignment_string_from_ops(cand: Sequence[Step], b: Sequence[Step],

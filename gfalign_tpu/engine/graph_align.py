@@ -129,6 +129,11 @@ class OrientedPath:
     seq: str = ""
     offsets: List[int] = None             # start offset of each step in seq
     seg_lens: List[int] = None
+    n_bases: int = -1                     # total length when seq is elided
+    # (the seeded aligner builds paths code-first; strings are never needed)
+
+    def __len__(self) -> int:
+        return self.n_bases if self.n_bases >= 0 else len(self.seq)
 
     def path_string(self, graph: Graph) -> str:
         return "".join((">" if o == "+" else "<") + graph.segment(s).name
@@ -176,6 +181,46 @@ def build_oriented(graph: Graph, steps: List[Tuple[int, str]],
                                   steps[k + 1][0], steps[k + 1][1]), 0)
                 for k in range(len(steps) - 1)]
     return build_path(graph, steps, overlaps)
+
+
+class _SegCodes:
+    """Lazy per-(segment, orientation) int8 code arrays."""
+
+    def __init__(self, graph: Graph):
+        self.graph = graph
+        self._cache: Dict[Tuple[int, str], np.ndarray] = {}
+
+    def __getitem__(self, key: Tuple[int, str]) -> np.ndarray:
+        c = self._cache.get(key)
+        if c is None:
+            c = encode_seq(_oriented_seq(self.graph, *key)).astype(np.int8)
+            self._cache[key] = c
+        return c
+
+
+def build_oriented_codes(graph: Graph, steps: List[Tuple[int, str]],
+                         overlaps_lut: Dict[Tuple[int, str, int, str], int],
+                         seg_codes: _SegCodes) -> Tuple[OrientedPath, np.ndarray]:
+    """build_oriented without the string detour: concatenates cached
+    per-oriented-segment code arrays directly (the seeded hot loop built
+    every candidate's sequence as a Python string and re-encoded it —
+    ~4 s of a 31 s 1k-read pass).  Returns (path-with-elided-seq, codes);
+    offsets/seg_lens/len() match build_path exactly."""
+    offsets: List[int] = []
+    seg_lens: List[int] = []
+    parts: List[np.ndarray] = []
+    pos = 0
+    prev = None
+    for sid, orientation in steps:
+        c = seg_codes[(sid, orientation)]
+        drop = overlaps_lut.get(prev + (sid, orientation), 0) if prev else 0
+        offsets.append(pos - drop)
+        seg_lens.append(len(c))
+        parts.append(c[drop:])
+        pos += len(c) - drop
+        prev = (sid, orientation)
+    codes = (np.concatenate(parts) if parts else np.empty(0, np.int8))
+    return OrientedPath(steps, "", offsets, seg_lens, n_bases=pos), codes
 
 
 def enumerate_paths(graph: Graph, max_paths: int = 4096,
@@ -473,7 +518,7 @@ class _DevicePools:
             co[k] = pos
             bp[k] = self.arena_start[(sid, orient)] + drop - pos
             pos += op.seg_lens[k] - drop
-        if pos != len(op.seq) or np.any(np.diff(co) < 0) or n_steps == 0:
+        if pos != len(op) or np.any(np.diff(co) < 0) or n_steps == 0:
             self.irregular.add(key)
             return None
         row = len(self.path_row)
@@ -561,6 +606,7 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
 
     index = KmerIndex(graph, k=params.seed_k)
     lut = overlap_table(graph)
+    seg_codes = _SegCodes(graph)
     path_cache: Dict[tuple, OrientedPath] = {}
     code_cache: Dict[tuple, np.ndarray] = {}
     cand_deltas: Dict[Tuple[int, tuple], int] = {}  # (read, key) -> diagonal
@@ -583,9 +629,10 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
                     continue
                 seen.add(key)
                 if key not in path_cache:
-                    op = build_oriented(graph, steps, lut)
+                    op, codes = build_oriented_codes(graph, steps, lut,
+                                                     seg_codes)
                     path_cache[key] = op
-                    code_cache[key] = encode_seq(op.seq)
+                    code_cache[key] = codes
                 # expected alignment diagonal: anchor segment's offset in
                 # this path + the anchor's in-segment diagonal vote — the
                 # banded scorer centers its band here
