@@ -58,7 +58,49 @@ class Workload:
 
 
 def _rand_seq(rng: random.Random, n: int) -> str:
-    return "".join(rng.choice(BASES) for _ in range(n))
+    # numpy fast path (seeded from the caller's rng so workloads stay
+    # reproducible from `seed`); the per-char Python loop cost ~10 min
+    # for the 100 Mb scale-proof graph
+    import numpy as np
+
+    nrng = np.random.default_rng(rng.getrandbits(32))
+    return (np.frombuffer(b"ACGT", np.uint8)[nrng.integers(0, 4, n)]
+            .tobytes().decode())
+
+
+def _apply_errors(rng: random.Random, raw: str, sub_rate: float,
+                  ins_rate: float, del_rate: float) -> str:
+    """Vectorized read-error model (same per-char semantics as the old
+    Python loop: roll < del -> drop; < del+ins -> insert a random base
+    before the char; < del+ins+sub -> substitute; else keep).  Seeded from
+    the caller's rng so workloads stay reproducible from `seed`; the
+    per-char loop cost ~8 min for 100k x 5 kb scale-proof reads."""
+    import numpy as np
+
+    if not raw:
+        return raw
+    nrng = np.random.default_rng(rng.getrandbits(32))
+    lut = np.zeros(256, np.uint8)
+    for i, b in enumerate(BASES):
+        lut[ord(b)] = i
+    idx = lut[np.frombuffer(raw.encode(), np.uint8)]          # 0..3
+    n = len(idx)
+    rolls = nrng.random(n)
+    d, di, dis = del_rate, del_rate + ins_rate, del_rate + ins_rate + sub_rate
+    del_m = rolls < d
+    ins_m = (~del_m) & (rolls < di)
+    sub_m = (~del_m) & (rolls < dis)      # ins positions also substitute,
+    # matching the original loop's fall-through
+    base_b = np.frombuffer(b"ACGT", np.uint8)
+    emit = np.where(sub_m, (idx + 1 + nrng.integers(0, 3, n)) % 4, idx)
+    counts = np.where(del_m, 0, np.where(ins_m, 2, 1))
+    ends = np.cumsum(counts)
+    out = np.empty(int(ends[-1]), np.uint8)
+    keep = counts > 0
+    out[ends[keep] - 1] = base_b[emit[keep]]
+    if ins_m.any():
+        out[ends[ins_m] - 2] = base_b[nrng.integers(0, 4, int(ins_m.sum()))]
+    return out.tobytes().decode()
 
 
 def _mutate(rng: random.Random, seq: str, rate: float) -> str:
@@ -147,19 +189,7 @@ def make_workload(seed: int = 0,
             parts.append(seqs[seg])
             walk.append(seg)
         raw = "".join(parts)[:target]
-        # HiFi-like errors
-        out = []
-        for ch in raw:
-            roll = rng.random()
-            if roll < del_rate:
-                continue
-            if roll < del_rate + ins_rate:
-                out.append(rng.choice(BASES))
-            if roll < del_rate + ins_rate + sub_rate:
-                out.append(rng.choice([b for b in BASES if b != ch]))
-            else:
-                out.append(ch)
-        seq = "".join(out)
+        seq = _apply_errors(rng, raw, sub_rate, ins_rate, del_rate)
         strand = "+" if rng.random() < 0.5 else "-"
         if strand == "-":
             seq = revcomp(seq)
