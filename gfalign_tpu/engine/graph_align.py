@@ -738,6 +738,10 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
             scoring fn compiles for at most two batch shapes per width
             (remote compiles are ~40 s each)."""
             redo_edge, redo_low = [], []
+            # dispatch ALL chunks before fetching any result: device
+            # execution overlaps host chunk prep and the per-dispatch
+            # tunnel roundtrip is paid once, not per chunk
+            inflight = []
             for c0 in range(0, len(idx_list), SCORE_CHUNK):  # bounded dispatch
                 chunk = idx_list[c0:c0 + SCORE_CHUNK]
                 n_pad = SCORE_CHUNK if len(chunk) > 256 else 256
@@ -749,9 +753,12 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
                     ridx[slot] = r
                     pidx[slot] = pools.path_row[key]
                     dl[slot] = deltas[n]
-                best, bi, bj, edge = seqalign.banded_arena_scores(
+                inflight.append((chunk, seqalign.banded_arena_scores(
                     pools.arena, pools.cum_off, pools.base_ptr, pools.plen,
-                    pools.reads, ridx, pidx, dl, width=width)
+                    pools.reads, ridx, pidx, dl, width=width,
+                    materialize=False)))
+            for chunk, out in inflight:
+                best, bi, bj, edge = (np.asarray(x) for x in out)
                 for slot, n in enumerate(chunk):
                     if edge[slot] and not keep_edge:
                         redo_edge.append(n)

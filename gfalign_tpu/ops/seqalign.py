@@ -264,16 +264,22 @@ def assemble_strip(arena, cum_off, base_ptr, plens, deltas, n_cols: int,
 
 def banded_arena_scores(arena, cum_off_pool, base_ptr_pool, plen_pool,
                         read_pool, read_idx, path_idx, deltas,
-                        width: int = 128):
+                        width: int = 128, materialize: bool = True):
     """Banded pairwise scoring with device-side strip assembly: per
     dispatch only int32 row indices + deltas leave the host; the path
     BYTES never do (they are re-materialized from the segment arena).
-    Returns (best, bi, bj, edge) like banded_pair_scores."""
+    Returns (best, bi, bj, edge) like banded_pair_scores.
+
+    materialize=False returns device arrays WITHOUT waiting: callers with
+    several chunks dispatch them all, then fetch — overlapping device
+    execution with host chunk prep and hiding the per-dispatch tunnel
+    roundtrip (the fetch is the synchronization point)."""
     from .nw_path import _pallas_eligible
 
     read_idx = np.asarray(read_idx, np.int32)
     path_idx = np.asarray(path_idx, np.int32)
     deltas = np.asarray(deltas, np.int32)
+    out = None
     if _pallas_eligible() and read_idx.shape[0] % 128 == 0:
         from .seqalign_pallas import (banded_arena_scores_pallas,
                                       banded_shapes_fit)
@@ -283,10 +289,12 @@ def banded_arena_scores(arena, cum_off_pool, base_ptr_pool, plen_pool,
             out = banded_arena_scores_pallas(
                 arena, cum_off_pool, base_ptr_pool, plen_pool, read_pool,
                 read_idx, path_idx, deltas, width)
-            return tuple(np.asarray(x) for x in out)
-    fn = _jitted_banded_arena(width)
-    out = fn(arena, cum_off_pool, base_ptr_pool, plen_pool, read_pool,
-             read_idx, path_idx, deltas)
+    if out is None:
+        fn = _jitted_banded_arena(width)
+        out = fn(arena, cum_off_pool, base_ptr_pool, plen_pool, read_pool,
+                 read_idx, path_idx, deltas)
+    if not materialize:
+        return out
     return tuple(np.asarray(x) for x in out)
 
 
