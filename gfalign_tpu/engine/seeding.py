@@ -59,28 +59,39 @@ class KmerIndex:
         from ..graph.stats import revcomp
 
         self.k = k
-        km_parts, sid_parts, or_parts, off_parts = [], [], [], []
+        # ONE _kmer_codes pass over the concatenation of every oriented
+        # segment, with boundary-crossing k-mers masked off — the
+        # per-segment Python loop cost 308 s (of which ~2/3 loop overhead)
+        # at the 100k-segment scale proof; this runs in one vector pass.
+        # Posting order (per (sid, orient) block, ascending offset) and
+        # the stable sort match the old loop exactly.
+        parts: List[np.ndarray] = []
+        sid_l, or_l, len_l = [], [], []
         for sid in range(graph.n_segments):
-            seg = graph.segment(sid)
-            if not seg.seq:
+            seq = graph.segment(sid).seq
+            if not seq:
                 continue
-            for oc, seq in ((0, seg.seq), (1, revcomp(seg.seq))):
-                kms = _kmer_codes(encode_seq(seq), k)
-                ok = kms >= 0
-                n_ok = int(ok.sum())
-                if not n_ok:
-                    continue
-                km_parts.append(kms[ok])
-                off_parts.append(np.nonzero(ok)[0].astype(np.int32))
-                sid_parts.append(np.full(n_ok, sid, np.int32))
-                or_parts.append(np.full(n_ok, oc, np.int8))
-        if km_parts:
-            kms = np.concatenate(km_parts)
+            for oc, s in ((0, seq), (1, revcomp(seq))):
+                parts.append(encode_seq(s))
+                sid_l.append(sid)
+                or_l.append(oc)
+                len_l.append(len(s))
+        if parts:
+            codes = np.concatenate(parts)
+            lens = np.asarray(len_l, np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            kms = _kmer_codes(codes, k)
+            pos = np.arange(len(kms), dtype=np.int64)
+            blk = np.searchsorted(starts, pos, "right") - 1
+            ok = (kms >= 0) & (pos + k <= starts[blk] + lens[blk])
+            kms = kms[ok]
+            blk = blk[ok]
+            offs = (pos[ok] - starts[blk]).astype(np.int32)
             order = np.argsort(kms, kind="stable")
             self.kmers = kms[order]                      # (T,) sorted
-            self.sids = np.concatenate(sid_parts)[order]
-            self.orients = np.concatenate(or_parts)[order]
-            self.offs = np.concatenate(off_parts)[order]
+            self.sids = np.asarray(sid_l, np.int32)[blk][order]
+            self.orients = np.asarray(or_l, np.int8)[blk][order]
+            self.offs = offs[order]
         else:
             self.kmers = np.empty(0, np.int64)
             self.sids = np.empty(0, np.int32)

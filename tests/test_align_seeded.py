@@ -147,3 +147,34 @@ def test_anchor_batch_matches_per_read(chain):
         single = index.anchors_with_diag(c, 4, audit=audit)
         assert batch[r] == single, f"read {r}"
         assert audits_b[r].counts == audit.counts, f"read {r} audit"
+
+
+def test_kmer_index_vectorized_build_matches_loop():
+    """The one-pass concatenated index build == the per-segment loop
+    (postings arrays identical, including order)."""
+    import numpy as np
+
+    from gfalign_tpu.engine.seeding import KmerIndex, _kmer_codes
+    from gfalign_tpu.graph.stats import revcomp
+    from gfalign_tpu.io.fastq import encode_seq
+
+    graph, _ = build_chain_graph(random.Random(9), n_segments=8, seg_len=40)
+    index = KmerIndex(graph, k=15)
+    km, sid, orient, off = [], [], [], []
+    for s in range(graph.n_segments):
+        seq = graph.segment(s).seq
+        if not seq:
+            continue
+        for oc, q in ((0, seq), (1, revcomp(seq))):
+            kms = _kmer_codes(encode_seq(q), 15)
+            ok = kms >= 0
+            km.append(kms[ok])
+            off.append(np.nonzero(ok)[0])
+            sid.append(np.full(int(ok.sum()), s))
+            orient.append(np.full(int(ok.sum()), oc))
+    kms = np.concatenate(km)
+    order = np.argsort(kms, kind="stable")
+    assert np.array_equal(index.kmers, kms[order])
+    assert np.array_equal(index.sids, np.concatenate(sid)[order])
+    assert np.array_equal(index.orients, np.concatenate(orient)[order])
+    assert np.array_equal(index.offs, np.concatenate(off)[order])
