@@ -220,7 +220,15 @@ def build_oriented_codes(graph: Graph, steps: List[Tuple[int, str]],
         pos += len(c) - drop
         prev = (sid, orientation)
     codes = (np.concatenate(parts) if parts else np.empty(0, np.int8))
-    return OrientedPath(steps, "", offsets, seg_lens, n_bases=pos), codes
+    # n_bases must be the CLAMPED concatenated length (len(codes), i.e.
+    # sum of max(0, len-drop)), not the raw pos recurrence: when an edge
+    # declares an overlap longer than its successor segment, pos drifts
+    # below len(codes), and _DevicePools.path_idx's `pos != len(op)`
+    # irregular-path guard relies on that mismatch to reject the path
+    # (the guard recomputes the same unclamped recurrence; with
+    # n_bases=pos it could never fire for code-built paths).
+    return OrientedPath(steps, "", offsets, seg_lens,
+                        n_bases=len(codes)), codes
 
 
 def enumerate_paths(graph: Graph, max_paths: int = 4096,

@@ -38,6 +38,8 @@ class Placement(NamedTuple):
 
 
 PAD = 5       # padding sentinel; code 4 = N (aligns as mismatch)
+_STRIP_UNROLL_S = 64   # assemble_strip: unroll compare-selects up to this
+                       # many path steps; rolled fori_loop above (ADVICE r3)
 _BLOCK = -1000  # padding must never extend an alignment
 
 
@@ -251,12 +253,27 @@ def assemble_strip(arena, cum_off, base_ptr, plens, deltas, n_cols: int,
     # compare-selects (pure VPU work).  The original log2(S) binary search
     # via take_along_axis cost 2.3 s per 4096-pair chunk on TPU — gathers
     # are serialized there; these selects + the single arena take below
-    # run the same chunk in 0.30 s (bench/micro_strip.py).  cum_off pad
-    # rows are INT32_MAX so they never win the select.
-    bsel = jnp.broadcast_to(base_ptr[:, 0:1], src.shape)
-    for s in range(1, S):
-        bsel = jnp.where(cum_off[:, s:s + 1] <= srcc, base_ptr[:, s:s + 1],
-                         bsel)
+    # run the same chunk in 0.30 s (bench/micro_strip.py, measured at
+    # S=32).  cum_off pad rows are INT32_MAX so they never win the select.
+    # NOTE the S dependence: work is O(S) per strip element either way,
+    # but the unrolled form also makes the TRACE O(S); above
+    # _STRIP_UNROLL_S we switch to a lax.fori_loop of the same selects so
+    # compile time and program size stay bounded for many-step paths
+    # (still gather-free — the binary search is the slow path here).
+    if S <= _STRIP_UNROLL_S:
+        bsel = jnp.broadcast_to(base_ptr[:, 0:1], src.shape)
+        for s in range(1, S):
+            bsel = jnp.where(cum_off[:, s:s + 1] <= srcc,
+                             base_ptr[:, s:s + 1], bsel)
+    else:
+        import jax
+
+        def step(s, acc):
+            return jnp.where(cum_off[:, s][:, None] <= srcc,
+                             base_ptr[:, s][:, None], acc)
+
+        bsel = jax.lax.fori_loop(
+            1, S, step, jnp.broadcast_to(base_ptr[:, 0:1], src.shape))
     ai = bsel + srcc
     codes = jnp.take(arena, jnp.clip(ai, 0, arena.shape[0] - 1), mode="clip")
     return jnp.where(valid, codes, PAD).astype(jnp.int8)

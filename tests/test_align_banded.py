@@ -298,3 +298,42 @@ def test_banded_arena_pallas_parity():
         *args, W, interpret=True)]
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+def test_overlong_overlap_path_is_irregular():
+    """Overlap longer than the successor segment: build_oriented_codes must
+    report the CLAMPED n_bases (= len(codes)) so _DevicePools.path_idx's
+    unclamped-recurrence guard rejects the path and the caller takes the
+    exact host-DP fallback (ADVICE r3: the guard was dead for code-built
+    paths when n_bases carried the same unclamped pos)."""
+    from gfalign_tpu.engine.graph_align import (_DevicePools, _SegCodes,
+                                                build_oriented_codes,
+                                                overlap_table)
+    from gfalign_tpu.graph.model import Graph, Link
+
+    graph = Graph()
+    graph.add_segment("a", "ACGTACGTAC")       # 10 bp
+    graph.add_segment("b", "GTT")              # 3 bp, overlap 5 > len
+    graph.links.append(Link(0, "+", 1, "+", "5M"))
+    lut = overlap_table(graph)
+    steps = [(0, "+"), (1, "+")]
+    op, codes = build_oriented_codes(graph, steps, lut, _SegCodes(graph))
+    assert len(op) == len(codes) == 10          # clamped, not 10 + 3 - 5
+    pools = _DevicePools([np.zeros(8, np.int8)], graph)
+    assert pools.path_idx(tuple(steps), op) is None
+    assert tuple(steps) in pools.irregular
+
+
+def test_assemble_strip_rolled_matches_unrolled(monkeypatch):
+    """Above _STRIP_UNROLL_S assemble_strip switches to a lax.fori_loop of
+    the same compare-selects; both forms must produce identical strips."""
+    from gfalign_tpu.ops import seqalign
+
+    pools, ops, reads, rows = _mini_arena_fixture()
+    args = (pools.arena, pools.cum_off, pools.base_ptr, pools.plen,
+            np.arange(-8, -8 + pools.cum_off.shape[0], dtype=np.int32),
+            48, 3, 7)
+    unrolled = np.asarray(seqalign.assemble_strip(*args))
+    monkeypatch.setattr(seqalign, "_STRIP_UNROLL_S", 1)
+    rolled = np.asarray(seqalign.assemble_strip(*args))
+    np.testing.assert_array_equal(rolled, unrolled)
