@@ -11,14 +11,21 @@ from gfalign_tpu.engine.alignments import AlignmentSet
 from gfalign_tpu.engine.search import search
 from gfalign_tpu.io.gfa import read_gfa
 
-graph = read_gfa('/root/repo/bench/.scaling/graph.gfa')
+graph = read_gfa('bench/.scaling/graph.gfa')
 aln = AlignmentSet()
-shard = (pid, nproc) if nproc > 1 else None
-aln.load('/root/repo/bench/.scaling/tangle.gaf', shard=shard, shard_by="qname")
+# same axis selection as the CLI (cli/main.py): thin read sets replicate
+# the reads and shard the frontier; large ones shard the reads
+from gfalign_tpu.engine.evaluate import FRONTIER_SHARD_MAX_READS
+n_rec = sum(1 for ln in open('bench/.scaling/tangle.gaf', "rb") if ln.strip())
+frontier_shard = nproc > 1 and n_rec <= FRONTIER_SHARD_MAX_READS
+shard = (pid, nproc) if nproc > 1 and not frontier_shard else None
+aln.load('bench/.scaling/tangle.gaf', shard=shard, shard_by="qname")
 out = io.StringIO()
 if nproc > 1:
-    from gfalign_tpu.engine.evaluate import distributed_evaluator
-    base_fn = distributed_evaluator()
+    from gfalign_tpu.engine.evaluate import (distributed_evaluator,
+                                             frontier_sharded_evaluator)
+    base_fn = (frontier_sharded_evaluator() if frontier_shard
+               else distributed_evaluator())
 else:
     from gfalign_tpu.engine.evaluate import evaluate_candidates as base_fn
 eval_s = [0.0]
@@ -29,8 +36,8 @@ def evaluate_fn(*a, **kw):
     finally:
         eval_s[0] += time.perf_counter() - t
 t0 = time.perf_counter()
-search(graph, aln, '/root/repo/bench/.scaling/search_nodelist.tsv', '497', '504',
-       max_steps=2000, out=out, evaluate_fn=evaluate_fn)
+search(graph, aln, 'bench/.scaling/search_nodelist.tsv', '497', '504',
+       max_steps=20000, out=out, evaluate_fn=evaluate_fn)
 dt = time.perf_counter() - t0
 import hashlib
 print("RESULT", dt)

@@ -45,12 +45,19 @@ from gfalign_tpu.io.gfa import read_gfa
 
 graph = read_gfa({gfa!r})
 aln = AlignmentSet()
-shard = (pid, nproc) if nproc > 1 else None
+# same axis selection as the CLI (cli/main.py): thin read sets replicate
+# the reads and shard the frontier; large ones shard the reads
+from gfalign_tpu.engine.evaluate import FRONTIER_SHARD_MAX_READS
+n_rec = sum(1 for ln in open({gaf!r}, "rb") if ln.strip())
+frontier_shard = nproc > 1 and n_rec <= FRONTIER_SHARD_MAX_READS
+shard = (pid, nproc) if nproc > 1 and not frontier_shard else None
 aln.load({gaf!r}, shard=shard, shard_by="qname")
 out = io.StringIO()
 if nproc > 1:
-    from gfalign_tpu.engine.evaluate import distributed_evaluator
-    base_fn = distributed_evaluator()
+    from gfalign_tpu.engine.evaluate import (distributed_evaluator,
+                                             frontier_sharded_evaluator)
+    base_fn = (frontier_sharded_evaluator() if frontier_shard
+               else distributed_evaluator())
 else:
     from gfalign_tpu.engine.evaluate import evaluate_candidates as base_fn
 eval_s = [0.0]

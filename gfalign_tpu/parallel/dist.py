@@ -79,15 +79,220 @@ def _reducer(mesh, width: int, count: int):
     return got
 
 
+# Sequence counter for the coordination-service allreduce; all processes
+# call allreduce_stats in the same order (the search loop is replicated and
+# deterministic), so equal counters name the same logical collective.
+_KV_SEQ = [0]
+
+
+class _ShmExchange:
+    """Same-host cross-process int64 allreduce over a /dev/shm mapping.
+
+    Per-frontier score merges are tiny (a few KB) and latency-bound; when
+    every process in the job shares one host (the 2-process scaling bench;
+    single-host multi-process runs in general), a shared-memory exchange
+    costs ~10 us per call vs ~1 ms through the coordination service and
+    ~3.5 ms through a device psum.  Layout: per process, two parity
+    buffers (double buffering: a peer can be one sequence ahead, never
+    two, because advancing requires reading every peer's current buffer)
+    of [seq, len, data[WIDTH]] int64.  x86 TSO keeps the data-then-seq
+    store order; the seq store is one aligned int64 write.
+
+    Validation: rank 0 creates the file and writes a random token which it
+    also publishes through the KV store; every other rank requires the
+    mapped token to match — two containers that merely share a hostname
+    fail this and fall back to the KV exchange."""
+
+    WIDTH = 4096
+
+    def __init__(self, client, pid: int, count: int, tag: str):
+        import mmap
+        import os
+
+        self.pid, self.count = pid, count
+        slot = 2 + self.WIDTH                 # int64s per parity buffer
+        self._slot = slot
+        size = count * 2 * slot * 8
+        path = f"/dev/shm/gfalign_ar_{tag}"
+        self._path = path
+        if pid == 0:
+            token = int.from_bytes(os.urandom(7), "little")
+            fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o600)
+            try:
+                os.ftruncate(fd, size + 8)
+                self._mm = mmap.mmap(fd, size + 8)
+            finally:
+                os.close(fd)
+            self._arr = np.frombuffer(self._mm, dtype=np.int64)
+            self._arr[0] = token
+            client.key_value_set(f"gfshm/{tag}/token", str(token))
+            import atexit
+
+            atexit.register(self._cleanup)
+        else:
+            want = int(client.blocking_key_value_get(f"gfshm/{tag}/token",
+                                                     600_000))
+            import time as _time
+
+            deadline = _time.monotonic() + 60.0
+            while True:
+                try:
+                    fd = os.open(path, os.O_RDWR)
+                    break
+                except FileNotFoundError:
+                    if _time.monotonic() > deadline:
+                        raise
+                    _time.sleep(0.001)
+            try:
+                self._mm = mmap.mmap(fd, size + 8)
+            finally:
+                os.close(fd)
+            self._arr = np.frombuffer(self._mm, dtype=np.int64)
+            if int(self._arr[0]) != want:
+                raise RuntimeError("shm token mismatch (not same host?)")
+        self._seq = 0
+
+    def _cleanup(self):
+        import os
+
+        try:
+            os.unlink(self._path)
+        except OSError:
+            pass
+
+    def _buf(self, pid: int, parity: int) -> np.ndarray:
+        base = 1 + (pid * 2 + parity) * self._slot
+        return self._arr[base:base + self._slot]
+
+    def allreduce(self, totals) -> List[int]:
+        import time as _time
+
+        self._seq += 1
+        s = self._seq
+        vec = np.asarray(totals, dtype=np.int64)
+        n = vec.shape[0]
+        mine = self._buf(self.pid, s % 2)
+        mine[2:2 + n] = vec
+        mine[1] = n
+        mine[0] = s                            # release: data before seq
+        acc = vec.copy()
+        for peer in range(self.count):
+            if peer == self.pid:
+                continue
+            pb = self._buf(peer, s % 2)
+            spins = 0
+            while pb[0] < s:
+                spins += 1
+                if spins > 2000:
+                    _time.sleep(0.0002)
+                else:
+                    _time.sleep(0)
+            acc += pb[2:2 + n]
+        return [int(v) for v in acc]
+
+
+_SHM: list = [None]  # None = untried, False = unavailable, else exchange
+
+
+def _shm_exchange():
+    """Establish (once) the same-host shm exchange, or False.  All ranks
+    agree via a KV handshake — ranks on another host fail the token check,
+    and any failure anywhere disables shm everywhere (no transport
+    divergence)."""
+    got = _SHM[0]
+    if got is not None:
+        return got
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is None:
+            raise RuntimeError("no distributed client")
+        pid, count = process_info()
+        addr = distributed.global_state.coordinator_address or "na"
+        tag = "".join(ch if ch.isalnum() else "_" for ch in addr)
+        ex = None
+        err = "0"
+        try:
+            ex = _ShmExchange(client, pid, count, tag)
+            err = "1"
+        except Exception:
+            ex = None
+        client.key_value_set(f"gfshm/{tag}/ok/{pid}", err)
+        all_ok = all(
+            client.blocking_key_value_get(f"gfshm/{tag}/ok/{p}",
+                                          600_000) == "1"
+            for p in range(count))
+        if all_ok and ex is not None:
+            _SHM[0] = ex
+        else:
+            if ex is not None and pid == 0:
+                ex._cleanup()
+            _SHM[0] = False
+    except Exception:
+        _SHM[0] = False
+    return _SHM[0]
+
+
+def _kv_allreduce(totals: List[int], count: int) -> List[int] | None:
+    """Tiny-host-vector allreduce over jax.distributed's coordination
+    service (gRPC key-value store): each process publishes its int64
+    vector and reads the peers'.  ~1 ms on localhost vs ~3.5 ms for the
+    device psum + make_array machinery — and per-frontier score merges in
+    thin-workload search are exactly this shape (a few hundred bytes).
+    Large payloads or a missing client return None (caller falls back to
+    the device psum, which on real pods rides ICI).
+
+    Key retirement: at sequence s every peer has COMPLETED sequence s-2
+    (to issue s it finished s-1, which required reading every peer's s-1
+    key, which required every peer to have finished s-2), so deleting our
+    own s-2 key is race-free."""
+    try:
+        import jax
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is None:
+            return None
+    except Exception:
+        return None
+    pid, _ = process_info()
+    seq = _KV_SEQ[0]
+    _KV_SEQ[0] += 1
+    payload = np.asarray(totals, dtype=np.int64).tobytes().hex()
+    client.key_value_set(f"gfar/{seq}/{pid}", payload)
+    acc = np.asarray(totals, dtype=np.int64)
+    for peer in range(count):
+        if peer == pid:
+            continue
+        raw = client.blocking_key_value_get(f"gfar/{seq}/{peer}", 600_000)
+        acc = acc + np.frombuffer(bytes.fromhex(raw), dtype=np.int64)
+    if seq >= 2:
+        try:
+            client.key_value_delete(f"gfar/{seq - 2}/{pid}")
+        except Exception:
+            pass
+    return [int(v) for v in acc]
+
+
 def allreduce_stats(totals: List[int], mesh=None) -> List[int]:
     """Sum per-host int totals across all devices/hosts.
 
-    Uses a tiny psum over the mesh's first axis; with one process this is
-    the identity.  Exact: int64 addition is associative.  The mesh,
-    sharding, and compiled psum persist across calls (see _REDUCER_CACHE)."""
+    Small vectors (<= 4096 entries) go through the coordination-service
+    exchange (_kv_allreduce); larger ones, or runs without a distributed
+    client, use a psum over the mesh's first axis.  With one process this
+    is the identity.  Exact: int64 addition is associative.  The mesh,
+    sharding, and compiled psum persist across calls (_REDUCER_CACHE)."""
     _, count = process_info()
     if count == 1 and mesh is None:
         return list(totals)
+    if count > 1 and len(totals) <= _ShmExchange.WIDTH:
+        ex = _shm_exchange()
+        if ex:
+            return ex.allreduce(totals)
+        got = _kv_allreduce(totals, count)
+        if got is not None:
+            return got
     import jax
 
     n = len(totals)

@@ -145,3 +145,71 @@ def test_pallas_packed_kernel_matches_unpacked():
         finally:
             nw_pallas._build_pallas_forward = fwd_builder
         assert np.array_equal(want, got), f"packed={packed}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_native_batch_matches_oracle(seed):
+    """The native C++ batch scorer (CPU search fast path) is bit-exact vs
+    the reference-transcribed oracle, fw and rc included."""
+    from gfalign_tpu.io import native
+    from gfalign_tpu.ops.nw_path import encode_path_batch
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = random.Random(1000 + seed)
+    candidates = [random_path(rng, 6, 14) for _ in range(rng.randrange(1, 7))]
+    reads = [random_path(rng, 8, 16) for _ in range(rng.randrange(1, 14))]
+    n_max = max(len(c) for c in candidates)
+    m_max = max((len(r) for r in reads), default=1)
+    a_keys, a_len = encode_path_batch(candidates, max(n_max, 1), pad_key=-1)
+    b_keys, b_len = encode_path_batch(reads, max(m_max, 1), pad_key=-2)
+    got = native.nw_best_scores_batch(a_keys, a_len, b_keys, b_len)
+    want = np.array([
+        [max(nw_score_oracle(c, r),
+             nw_score_oracle(c, revcomp_path([Step(*s) for s in r])))
+         for r in reads]
+        for c in candidates
+    ], dtype=np.int32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_batch_threads_match_single():
+    from gfalign_tpu.io import native
+    from gfalign_tpu.ops.nw_path import encode_path_batch
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = random.Random(7)
+    candidates = [random_path(rng, 30, 40) for _ in range(64)]
+    reads = [random_path(rng, 20, 40) for _ in range(64)]
+    a_keys, a_len = encode_path_batch(candidates, 40, pad_key=-1)
+    b_keys, b_len = encode_path_batch(reads, 40, pad_key=-2)
+    native.set_threads(4)
+    try:
+        multi = native.nw_best_scores_batch(a_keys, a_len, b_keys, b_len)
+    finally:
+        native.set_threads(1)
+    single = native.nw_best_scores_batch(a_keys, a_len, b_keys, b_len)
+    native.set_threads(0)
+    np.testing.assert_array_equal(multi, single)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_native_frontier_matches_python(seed, monkeypatch):
+    """The fused native evaluate (filter + score + tally) equals the
+    Python/XLA evaluate_candidates path, both filter modes."""
+    from gfalign_tpu.engine import evaluate as ev
+    from gfalign_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = random.Random(2000 + seed)
+    candidates = [random_path(rng, 6, 10) for _ in range(rng.randrange(1, 9))]
+    reads = [random_path(rng, 8, 12) for _ in range(rng.randrange(1, 20))]
+    for filt in (True, False):
+        got = ev.evaluate_candidates(candidates, reads, filt)
+        monkeypatch.setattr(ev, "_native_scoring_ok", lambda: False)
+        want = ev.evaluate_candidates(candidates, reads, filt)
+        monkeypatch.undo()
+        assert [(s.bad, s.good, s.unaligned) for s in got] == \
+               [(s.bad, s.good, s.unaligned) for s in want]
