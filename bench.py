@@ -104,15 +104,57 @@ def device_records_per_s() -> float:
     return C * R / best
 
 
+PIN_FILE = ROOT / "bench" / "baseline_pinned.json"
+
+
+def pinned_baseline() -> float:
+    """The C++ baseline rate, pinned on first run: re-measuring it every
+    round on this noisy shared box made vs_baseline swing 277->152 between
+    rounds with no code change (VERDICT r3 weak item 6).  The pin records
+    the box + flags; delete the file to re-pin after a hardware change."""
+    if PIN_FILE.exists():
+        return float(json.loads(PIN_FILE.read_text())["records_per_s"])
+    import platform
+
+    rate = baseline_records_per_s()
+    PIN_FILE.write_text(json.dumps({
+        "records_per_s": rate,
+        "flags": "g++ -O3 -march=native",
+        "box": platform.platform(),
+        "cpus": os.cpu_count(),
+        "shapes": {"C": C, "R": min(R, 256), "N": N, "M": M},
+    }, indent=1) + "\n")
+    return rate
+
+
+def prev_round_value():
+    """Device rate recorded by the previous round's driver run, for
+    noise-vs-regression classification."""
+    best = None
+    for p in sorted(ROOT.glob("BENCH_r*.json")):
+        try:
+            d = json.loads(p.read_text())
+            v = d.get("parsed", d).get("value")
+            if v is not None:
+                best = float(v)
+        except Exception:
+            continue
+    return best
+
+
 def main() -> None:
     os.chdir(ROOT)
-    base = baseline_records_per_s()
+    base = pinned_baseline()
+    fresh_base = baseline_records_per_s()
     value = device_records_per_s()
     print(json.dumps({
         "metric": "gaf_records_evaluated_per_s_per_chip",
         "value": round(value, 2),
         "unit": "records/s",
         "vs_baseline": round(value / base, 3),
+        "baseline_pinned": round(base, 2),
+        "baseline_fresh": round(fresh_base, 2),
+        "prev_value": prev_round_value(),
     }))
 
 

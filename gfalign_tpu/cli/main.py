@@ -53,12 +53,21 @@ class UserInput:
         self.dijkstra_steps = 100000
         self.threads = 0
         self.cmd_echo: List[str] = []  # argv as typed, incl. argv[0]
+        self.align_overrides: dict = {}  # AlignParams field overrides
 
 
 _MODE_OPTS = {
     0: ("f:g:j:o:p:r:vh", ["input-sequence=", "input-alignment=", "preset=",
                            "input-reads=", "out-format=", "graph-statistics",
-                           "threads=", "cmd", "verbose", "version", "help"]),
+                           "threads=", "cmd", "verbose", "version", "help",
+                           # aligner tunables (reference forwards arbitrary
+                           # argv to GraphAligner, src/main.cpp:166-169;
+                           # these expose the in-house AlignParams knobs,
+                           # plus GraphAligner-compatible aliases)
+                           "seed-k=", "min-score=", "band=", "wide-band=",
+                           "max-anchors=", "max-paths-per-anchor=",
+                           "seeds-mxm-length=", "min-alignment-score=",
+                           "precise-clipping="]),
     1: ("f:g:j:o:vh", ["input-sequence=", "input-alignment=", "out-format=",
                        "graph-statistics", "sort-alignment",
                        "output-terminal-alignments", "threads=", "cmd",
@@ -208,6 +217,31 @@ def parse_args(argv: List[str]) -> UserInput:
             ui.terminal_alignments_flag = True
         elif opt == "--return-all-paths":
             ui.return_all_paths = True
+        elif opt == "--seed-k":
+            ui.align_overrides["seed_k"] = int(val)
+        elif opt == "--min-score":
+            ui.align_overrides["min_score"] = int(val)
+        elif opt == "--band":
+            ui.align_overrides["band"] = int(val)
+        elif opt == "--wide-band":
+            ui.align_overrides["wide_band"] = int(val)
+        elif opt == "--max-anchors":
+            ui.align_overrides["max_anchors"] = int(val)
+        elif opt == "--max-paths-per-anchor":
+            ui.align_overrides["max_paths_per_anchor"] = int(val)
+        elif opt == "--min-alignment-score":
+            # GraphAligner-compatible alias (direct semantic match)
+            ui.align_overrides["min_score"] = int(val)
+        elif opt == "--seeds-mxm-length":
+            # GraphAligner's minimum exact-match seed length; the in-house
+            # anchor is a k-mer, so clamp into the valid k range
+            ui.align_overrides["seed_k"] = max(9, min(31, int(val)))
+        elif opt == "--precise-clipping":
+            # GraphAligner clipping stringency in (0, 1): values below 0.9
+            # signal noisy reads -> the wide CLR-style band
+            if float(val) < 0.9:
+                ui.align_overrides.setdefault("band", 512)
+                ui.align_overrides.setdefault("wide_band", 1024)
         elif opt == "--min-nodes":
             ui.min_nodes = int(val)
         elif opt == "--cmd":
@@ -317,7 +351,8 @@ def _run_mode(ui, mode, graph, alignments, shard, out,
     if mode == 0:
         from ..engine.aligner import align_mode
         if ui.in_reads:
-            align_mode(graph, ui.in_reads, ui.out_file, ui.preset)
+            align_mode(graph, ui.in_reads, ui.out_file, ui.preset,
+                       overrides=ui.align_overrides, echo=True, out=out)
             ui.out_file = ""  # -o was the aligner's GAF; don't let the
             # evalGFA fall-through below overwrite it with a decorated GFA
         # falls through to evalGFA behavior (reference

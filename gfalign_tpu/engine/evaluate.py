@@ -399,4 +399,8 @@ def frontier_sharded_evaluator(base=evaluate_candidates):
         return [PathScore(merged[3 * i], merged[3 * i + 1], merged[3 * i + 2])
                 for i in range(len(candidates))]
 
+    # marker consumed by engine/search._try_native_search: a
+    # frontier-sharded evaluation can be run entirely inside the native
+    # driver when the shm exchange is available
+    evaluate.frontier_sharded = True
     return evaluate

@@ -1018,7 +1018,8 @@ def emit_gaf(results, write) -> None:
 
 
 def run_graph_aligner(graph: Graph, read_files, out_file: str,
-                      preset: str = "hifi") -> None:
+                      preset: str = "hifi", overrides=None,
+                      echo: bool = False, out=None) -> None:
     if graph is None:
         print("align: missing input graph (-f)", file=sys.stderr)
         raise SystemExit(1)
@@ -1028,6 +1029,24 @@ def run_graph_aligner(graph: Graph, read_files, out_file: str,
         # reference parity: unknown preset names abort (src/main.cpp:185-188)
         print(f"Could not find preset: {preset}")
         raise SystemExit(1)
+    if overrides:
+        import dataclasses
+
+        params = dataclasses.replace(params, **overrides)
+        # the banded kernels need 8-aligned widths (Pallas sublanes)
+        params = dataclasses.replace(
+            params, band=-(-params.band // 8) * 8,
+            wide_band=-(-max(params.wide_band, params.band) // 8) * 8)
+    if echo:
+        # analogue of the reference's `Invoking: <GraphAligner cmd>` echo
+        # (src/main.cpp:167-168): print the fully resolved in-house
+        # invocation so runs are reproducible from the log
+        (out or sys.stdout).write(
+            f"Invoking: gfalign-tpu-align -p {preset}"
+            f" --seed-k {params.seed_k} --min-score {params.min_score}"
+            f" --max-anchors {params.max_anchors}"
+            f" --max-paths-per-anchor {params.max_paths_per_anchor}"
+            f" --band {params.band} --wide-band {params.wide_band}\n")
     results = align_reads(graph, reads, params=params)
     n_hits = sum(len(h) for _, _, h in results)
     lg.verbose(f"Aligned {len(reads)} reads: {n_hits} records")

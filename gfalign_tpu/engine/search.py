@@ -101,6 +101,102 @@ class PartialPath:
     pid: int = -1
 
 
+def _try_native_search(graph: Graph, table: NodeTable, source: str,
+                       destination: str, read_batch, max_steps: int,
+                       min_nodes: int, return_all_paths: bool, out,
+                       evaluate_fn, spec_depth: int, speculate: int) -> bool:
+    """Run the C++ search driver (native/gfalign_host.cpp search_native)
+    when eligible; True when it handled the search (output written).
+
+    Eligible: CPU backend with the native library (the same condition
+    under which frontier scoring would run natively anyway), and either a
+    default single-process evaluation or a frontier-sharded distributed
+    one whose tallies can merge through the same-host shm exchange.  The
+    driver is the identical algorithm — byte-equal output enforced by
+    tests/test_search_differential.py and the test.6 golden — minus the
+    ~25 us/step Python bookkeeping, which dominated once scoring went
+    native.  TPU backends keep the Python driver + device kernels."""
+    import numpy as np
+
+    from .evaluate import _native_scoring_ok
+
+    if not _native_scoring_ok():
+        return False
+    n = graph.n_segments
+    if n == 0:
+        return False
+    pid, nproc, ring = 0, 1, None
+    if evaluate_fn is not None:
+        if not getattr(evaluate_fn, "frontier_sharded", False):
+            return False
+        from ..parallel import dist
+
+        pid, nproc = dist.process_info()
+        if nproc > 1:
+            ring = dist._shm_ring()
+            ex = dist._shm_exchange()
+            if not ring or not ex:
+                return False
+            # fresh batch numbering for this search: each process zeroes
+            # its own ring cells, then one barrier makes that visible
+            ring.reset_local()
+            ex.allreduce([0])
+    source_uid = table.records[source][0]
+    dest_uid = table.records[destination][0]
+    if not (0 <= source_uid < n and 0 <= dest_uid < n):
+        return False
+    from ..io import native
+
+    adj = graph.adjacency
+    counts = np.fromiter((len(a) for a in adj), np.int32, count=n)
+    adj_off = np.zeros(n + 1, np.int32)
+    np.cumsum(counts, out=adj_off[1:])
+    E = int(adj_off[-1])
+    adj_nid = np.empty(E, np.int32)
+    adj_or0 = np.empty(E, np.int8)
+    adj_or1 = np.empty(E, np.int8)
+    oc = {"+": 0, "-": 1}
+    k = 0
+    for a in adj:
+        for e in a:
+            adj_nid[k] = e.nid
+            adj_or0[k] = oc[e.or0]
+            adj_or1[k] = oc[e.or1]
+            k += 1
+    seg_names = [graph.segment(i).name for i in range(n)]
+    budget = np.full(n, -1, np.int32)
+    for i, nm in enumerate(seg_names):
+        rec = table.records.get(nm)
+        if rec is not None:
+            budget[i] = rec[1]
+    n_rec = len(table.records)
+    rec_uids = np.fromiter((uid for uid, _ in table.records.values()),
+                           np.int32, count=n_rec)
+    rec_counts = np.fromiter((c for _, c in table.records.values()),
+                             np.int32, count=n_rec)
+    enc = [s.encode() for s in seg_names]
+    name_off = np.zeros(n + 1, np.int64)
+    np.cumsum(np.fromiter(map(len, enc), np.int64, count=n),
+              out=name_off[1:])
+    name_blob = b"".join(enc)
+    lg.verbose("Starting search")
+    got = native.native_search(
+        adj_off, adj_nid, adj_or0, adj_or1, n, budget, rec_uids, rec_counts,
+        table.node_count, source_uid, dest_uid,
+        read_batch.b_keys[:read_batch.R], read_batch.lengths,
+        max_steps, min_nodes, return_all_paths, spec_depth, speculate,
+        name_blob, name_off,
+        pid=pid, nproc=nproc,
+        ring_buf=(ring.address if ring else None),
+        ring_width=(ring.WIDTH if ring else 0),
+        ring_slots=(ring.SLOTS if ring else 0))
+    if got is None:
+        return False
+    out.write(got.decode())
+    lg.verbose("Search completed")
+    return True
+
+
 def search(graph: Graph,
            alignments: Optional[AlignmentSet],
            node_file: str,
@@ -112,9 +208,9 @@ def search(graph: Graph,
            out=None,
            evaluate_fn=None,
            spec_depth: int = 2,
-           speculate: int = 64) -> None:
+           speculate: Optional[int] = None,
+           use_native: Optional[bool] = None) -> None:
     out = out or sys.stdout
-    evaluate_fn = evaluate_fn or evaluate_candidates
     adj = graph.adjacency
     name_to_id = graph.name_to_id
     read_paths: List[List[Step]] = []
@@ -122,6 +218,11 @@ def search(graph: Graph,
         read_paths = [[Step(i, o) for i, o in p] for p in alignments.paths_as_ids(name_to_id)]
     from .evaluate import ReadBatch
     read_batch = ReadBatch(read_paths)
+    if speculate is None:
+        # wider speculation cuts dispatch/sync count; its cost (scoring
+        # candidates that never pop) scales with the read batch, so go
+        # wide only when reads are few
+        speculate = 256 if read_batch.R <= 512 else 64
 
     table = NodeTable.from_file(node_file, name_to_id)
     # unknown source/destination names default-insert uId 0, matching phmap
@@ -129,6 +230,13 @@ def search(graph: Graph,
     table.add(source, name_to_id.get(source, 0), 1)
     table.add(destination, name_to_id.get(destination, 0), 1)
     dest_uid = table.records[destination][0]
+
+    if use_native is not False and _try_native_search(
+            graph, table, source, destination, read_batch, max_steps,
+            min_nodes, return_all_paths, out, evaluate_fn, spec_depth,
+            speculate):
+        return
+    evaluate_fn = evaluate_fn or evaluate_candidates
 
     heap: List[Tuple[int, int, PartialPath]] = []
     seq = 0

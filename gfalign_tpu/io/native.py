@@ -139,6 +139,24 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32)]
+    lib.search_native.restype = ctypes.c_int32
+    lib.search_native.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64)]
+    lib.search_free.restype = None
+    lib.search_free.argtypes = [ctypes.c_char_p]
     lib.nw_evaluate_frontier.restype = None
     lib.nw_evaluate_frontier.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -369,6 +387,54 @@ def nw_best_scores_batch(a_keys: np.ndarray, a_len: np.ndarray,
         R, bk.shape[1] if bk.ndim == 2 else 0,
         match, mismatch, gap, out.ctypes.data_as(i32p))
     return out
+
+
+def native_search(adj_off, adj_nid, adj_or0, adj_or1, n_segments, budget,
+                  rec_uids, rec_counts, node_count, source_uid, dest_uid,
+                  b_keys, b_len, max_steps, min_nodes, return_all,
+                  spec_depth, speculate, name_blob: bytes, name_off,
+                  pid: int = 0, nproc: int = 1, ring_buf=None,
+                  ring_width: int = 0, ring_slots: int = 0):
+    """Run the native tangle-search driver; returns the output bytes, or
+    None without the native library.  Arrays follow engine/search.py's
+    encodings (orientation codes 0/1/2; read keys id*4+orient).  For
+    nproc > 1 pass the parallel/dist._ShmRing buffer address (reset +
+    barriered by the caller)."""
+    lib = _load()
+    if lib is None:
+        return None
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    i8 = ctypes.POINTER(ctypes.c_int8)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    # keep arrays alive across the call
+    keep = [np.ascontiguousarray(a, np.int32) for a in
+            (adj_off, adj_nid, budget, rec_uids, rec_counts, b_keys, b_len)]
+    ko0 = np.ascontiguousarray(adj_or0, np.int8)
+    ko1 = np.ascontiguousarray(adj_or1, np.int8)
+    koff = np.ascontiguousarray(name_off, np.int64)
+    out_text = ctypes.c_char_p()
+    out_len = ctypes.c_int64()
+    bk = keep[5]
+    rc = lib.search_native(
+        keep[0].ctypes.data_as(i32), keep[1].ctypes.data_as(i32),
+        ko0.ctypes.data_as(i8), ko1.ctypes.data_as(i8),
+        int(n_segments), keep[2].ctypes.data_as(i32),
+        keep[3].ctypes.data_as(i32), keep[4].ctypes.data_as(i32),
+        len(keep[3]), int(node_count), int(source_uid), int(dest_uid),
+        bk.ctypes.data_as(i32), keep[6].ctypes.data_as(i32),
+        bk.shape[0], bk.shape[1] if bk.ndim == 2 else 0,
+        0, -1, -1, int(max_steps), int(min_nodes),
+        1 if return_all else 0, int(spec_depth), int(speculate),
+        name_blob, koff.ctypes.data_as(i64),
+        int(pid), int(nproc),
+        ctypes.c_void_p(ring_buf if ring_buf else None), int(ring_width),
+        int(ring_slots),
+        ctypes.byref(out_text), ctypes.byref(out_len))
+    if rc != 0:
+        return None
+    text = ctypes.string_at(out_text, out_len.value)
+    lib.search_free(out_text)
+    return text
 
 
 def nw_evaluate_frontier(a_keys: np.ndarray, a_len: np.ndarray,

@@ -22,8 +22,11 @@
 #include <sched.h>
 #endif
 
+#include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <fstream>
 #include <string>
 #include <thread>
@@ -915,6 +918,624 @@ void nw_evaluate_frontier(const int32_t* a_keys, const int32_t* a_len,
     threads.emplace_back(run, C * t / n_threads, C * (t + 1) / n_threads);
   }
   for (auto& th : threads) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// Native tangle-search driver (CPU fast path of engine/search.py).
+//
+// The reference's dijkstra (src/eval.cpp:110-193) is a sequential C++
+// best-first loop; our Python driver adds batched scoring + speculation but
+// its per-step bookkeeping (~25 us/step) dominates once scoring went
+// native.  This driver runs the IDENTICAL algorithm — same admissibility,
+// priority, FIFO tie-break, improvement logic, and output bytes — with the
+// fused filter+score evaluation inlined, and (optionally) the frontier
+// sharded across same-host processes with the /dev/shm allreduce
+// (parallel/dist._ShmExchange wire format).  Output parity is enforced by
+// tests/test_search_differential.py and the test.6 golden.
+// ---------------------------------------------------------------------------
+
+namespace search_impl {
+
+struct HeapItem {
+  int64_t alt;
+  int64_t seq;
+  int64_t pid;
+};
+struct HeapCmp {  // min-heap on (alt, seq); seq unique -> FIFO ties
+  bool operator()(const HeapItem& a, const HeapItem& b) const {
+    if (a.alt != b.alt) return a.alt > b.alt;
+    return a.seq > b.seq;
+  }
+};
+
+struct PathNode {
+  int64_t parent;   // -1 for the seed
+  int32_t sid;
+  int8_t orc;       // 0 '+', 1 '-', 2 '0'
+  int8_t fix;       // if >= 0, parent's step orientation is rewritten
+};
+
+static double g_shm_wait_s = 0.0;   // diagnostic: total blocked time
+static int64_t g_shm_waits = 0;
+
+static double mono_s() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+
+static void shm_wait_ge(const int64_t* cell, int64_t want) {
+  if (__atomic_load_n(cell, __ATOMIC_ACQUIRE) >= want) return;
+  const double t0 = mono_s();
+  int spins = 0;
+  while (__atomic_load_n(cell, __ATOMIC_ACQUIRE) < want) {
+    if (++spins > 5000) {
+      struct timespec ts = {0, 100000};  // 0.1 ms
+      nanosleep(&ts, nullptr);
+    }
+  }
+  g_shm_wait_s += mono_s() - t0;
+  g_shm_waits++;
+}
+
+// Pipelined same-host tally exchange over a /dev/shm ring
+// (parallel/dist.make_shm_ring layout).  Per dispatch every process
+// scores a round-robin share of the SPECULATIVE candidates and publishes
+// its share non-blockingly; the popped path's own expansions are scored
+// redundantly by everyone, so commits never wait on a peer.  Peer shares
+// are drained lazily — in batch order — the first time one of their
+// scores is consumed, by which point they have almost always arrived:
+// the barrier-per-frontier design lost ~0.2-0.5 ms of scheduler skew per
+// dispatch on shared cores, which dominated thin-workload scaling.
+//
+// Layout: arr[0] = token; arr[1 + p] = proc p's drained counter;
+// slots at arr[1 + nproc ...]: per (proc, k % ring): [seq, len,
+// data[width]].  Proc p may reuse its slot for batch k only once every
+// peer's drained counter has passed k - ring (their guard), so a slot is
+// never overwritten while needed.  Progress: draining proceeds from the
+// lowest undrained batch, which the slowest peer has always published.
+struct RingX {
+  int64_t* arr = nullptr;
+  int64_t width = 0;
+  int64_t ring = 0;
+  int pid = 0, nproc = 1;
+  int64_t pub = 0;      // batches published by this process
+  int64_t drained = 0;  // batches fully drained (in order)
+
+  int64_t* slot(int p, int64_t k) {
+    const int64_t s = 2 + width;
+    return arr + 1 + nproc + (static_cast<int64_t>(p) * ring + (k % ring)) * s;
+  }
+
+  void wait_peers_drained(int64_t want) {
+    for (int p = 0; p < nproc; p++) {
+      if (p == pid) continue;
+      shm_wait_ge(&arr[1 + p], want);
+    }
+  }
+
+  void publish(const int64_t* vals, int64_t n) {
+    const int64_t k = pub;
+    if (k >= ring) wait_peers_drained(k - ring + 1);
+    int64_t* s = slot(pid, k);
+    if (n > width) n = width;  // callers cap batches to width/3 tallies
+    if (n > 0) std::memcpy(s + 2, vals, n * sizeof(int64_t));
+    s[1] = n;
+    __atomic_store_n(&s[0], k + 1, __ATOMIC_RELEASE);
+    pub++;
+  }
+
+  void mark_drained() {
+    drained++;
+    __atomic_store_n(&arr[1 + pid], drained, __ATOMIC_RELEASE);
+  }
+};
+
+struct Driver {
+  // graph
+  const int32_t* adj_off;
+  const int32_t* adj_nid;
+  const int8_t* adj_or0;
+  const int8_t* adj_or1;
+  int32_t n_segments;
+  const int32_t* budget;
+  // node table records (for the Hamiltonian check)
+  const int32_t* rec_uids;
+  const int32_t* rec_counts;
+  int32_t n_records;
+  int32_t node_count;
+  int32_t dest_uid;
+  // reads
+  const int32_t* b_keys;
+  const int32_t* b_len;
+  int64_t R, m_stride;
+  std::vector<int32_t> rc_keys;
+  int32_t match, mismatch, gap;
+  // params
+  int64_t max_steps;
+  int32_t min_nodes;
+  bool return_all;
+  int32_t spec_depth, speculate;
+  const char* name_blob;
+  const int64_t* name_off;
+  // distributed
+  RingX* ring = nullptr;
+  int pid = 0, nproc = 1;
+
+  // path trie
+  std::vector<PathNode> nodes;
+  std::unordered_map<uint64_t, int64_t> intern;
+  uint64_t intern_stride = 1;  // total edge count + 1
+  // per-pid cached tallies; sc_pending = batch id whose drain will fill
+  // this pid's score (-1 = none)
+  std::vector<int64_t> sc_bad, sc_good, sc_unal, sc_pending;
+  std::vector<uint8_t> sc_have;
+  std::vector<std::vector<int64_t>> pending_batches;  // ring of spec lists
+  size_t pending_head = 0;
+  // scratch
+  std::vector<int32_t> steps_sid, steps_orc;   // materialized path
+  std::vector<int32_t> visit_cnt;              // per-sid counters + undo
+  std::vector<int32_t> touched;
+  std::vector<int32_t> dp_scratch_i32;
+  std::string out;
+
+  void ensure_pid(int64_t pid_) {
+    if (static_cast<size_t>(pid_) >= sc_have.size()) {
+      size_t n = sc_have.size() ? sc_have.size() * 2 : 4096;
+      while (n <= static_cast<size_t>(pid_)) n *= 2;
+      sc_bad.resize(n);
+      sc_good.resize(n);
+      sc_unal.resize(n);
+      sc_pending.resize(n, -1);
+      sc_have.resize(n, 0);
+    }
+  }
+
+  // drain peer tally shares, in batch order, through batch k
+  void drain_upto(int64_t k) {
+    while (ring->drained <= k) {
+      const int64_t j = ring->drained;
+      const std::vector<int64_t>& spec = pending_batches[pending_head];
+      for (int p = 0; p < nproc; p++) {
+        if (p == pid) continue;
+        int64_t* s = ring->slot(p, j);
+        shm_wait_ge(&s[0], j + 1);
+        int64_t jj = 0;
+        for (size_t i = 0; i < spec.size(); i++) {
+          if (static_cast<int64_t>(i % nproc) != p) continue;
+          const int64_t sp = spec[i];
+          const int64_t* v = s + 2 + 3 * jj;
+          ensure_pid(sp);
+          sc_bad[sp] = v[0];
+          sc_good[sp] = v[1];
+          sc_unal[sp] = v[2];
+          sc_have[sp] = 1;
+          sc_pending[sp] = -1;
+          jj++;
+        }
+      }
+      pending_head++;
+      ring->mark_drained();
+    }
+  }
+
+  void consume(int64_t p) {
+    ensure_pid(p);
+    if (!sc_have[p] && ring && sc_pending[p] >= 0) drain_upto(sc_pending[p]);
+  }
+
+  // materialize the step sequence of `pid` into steps_sid/steps_orc
+  void materialize(int64_t p) {
+    steps_sid.clear();
+    steps_orc.clear();
+    int8_t fix = -1;
+    while (p >= 0) {
+      const PathNode& nd = nodes[static_cast<size_t>(p)];
+      steps_sid.push_back(nd.sid);
+      steps_orc.push_back(fix >= 0 ? fix : nd.orc);
+      fix = nd.fix;
+      p = nd.parent;
+    }
+    std::reverse(steps_sid.begin(), steps_sid.end());
+    std::reverse(steps_orc.begin(), steps_orc.end());
+  }
+
+  struct Expansion {
+    int64_t cpid;
+    int32_t nid;
+    int8_t or1;
+    int32_t n_uniques;
+  };
+
+  // expansions of `p` (materialize() must hold p's steps)
+  void expansions_of(int64_t p, std::vector<Expansion>& out_exps) {
+    out_exps.clear();
+    const int32_t last_sid = steps_sid.back();
+    const int8_t last_orc = static_cast<int8_t>(steps_orc.back());
+    // visit counts past the seed + distinct-sid count of current path
+    for (int32_t t : touched) visit_cnt[t] = 0;
+    touched.clear();
+    int32_t base_uniques = 0;
+    for (size_t i = 0; i < steps_sid.size(); i++) {
+      const int32_t sid = steps_sid[i];
+      if (visit_cnt[sid] == 0) base_uniques++;
+      if (visit_cnt[sid] == 0) touched.push_back(sid);
+      if (i > 0) visit_cnt[sid] += 1 << 8;  // entered-count in high bits
+      visit_cnt[sid] |= 1;                  // presence in low bit
+    }
+    for (int32_t e = adj_off[last_sid]; e < adj_off[last_sid + 1]; e++) {
+      if (last_orc != 2 && last_orc != adj_or0[e]) continue;
+      const int32_t nid = adj_nid[e];
+      const int32_t bud = budget[nid];
+      if (bud < 0) continue;
+      const int32_t entered = visit_cnt[nid] >> 8;
+      if (bud - entered <= 0) continue;
+      const int8_t fix = (last_orc == 2) ? adj_or0[e] : int8_t(-1);
+      // collision-free: parent * stride + edge slot (fix is derived from
+      // the parent's last orientation, so (parent, edge) is the identity)
+      const uint64_t key =
+          static_cast<uint64_t>(p) * intern_stride + static_cast<uint64_t>(e);
+      auto it = intern.find(key);
+      int64_t cpid;
+      if (it == intern.end()) {
+        cpid = static_cast<int64_t>(nodes.size());
+        nodes.push_back(PathNode{p, nid, adj_or1[e], fix});
+        intern.emplace(key, cpid);
+      } else {
+        cpid = it->second;
+      }
+      const int32_t n_uniq =
+          base_uniques + ((visit_cnt[nid] & 1) ? 0 : 1);
+      out_exps.push_back(Expansion{cpid, nid, adj_or1[e], n_uniq});
+    }
+  }
+
+  // fused filter + fw/rc scoring + tally for ONE candidate (the
+  // materialized steps of `p`), nw_evaluate_frontier semantics
+  void eval_one(int64_t p, int64_t* bad, int64_t* good, int64_t* unal) {
+    materialize(p);
+    const int64_t n = static_cast<int64_t>(steps_sid.size());
+    std::vector<int32_t> akeys(n);
+    for (int64_t i = 0; i < n; i++)
+      akeys[i] = (steps_sid[i] << 2) | steps_orc[i];
+    // unique candidate ids
+    std::vector<int32_t> ids;
+    for (int64_t i = 0; i < n; i++) {
+      const int32_t id = steps_sid[i];
+      bool seen = false;
+      for (int32_t v : ids)
+        if (v == id) { seen = true; break; }
+      if (!seen) ids.push_back(id);
+    }
+    int64_t nb = 0, ng = 0, nu = 0;
+    for (int64_t r = 0; r < R; r++) {
+      const int32_t* b = b_keys + r * m_stride;
+      const int64_t m = b_len[r];
+      int64_t off = 0;
+      for (int64_t j = 0; j < m; j++) {
+        const int32_t id = b[j] >> 2;
+        bool member = false;
+        for (int32_t v : ids)
+          if (v == id) { member = true; break; }
+        if (!member) off++;
+      }
+      if (off) {
+        nu += off;
+        continue;
+      }
+      const int32_t fw = nw_walk_score(akeys.data(), n, b, m, match,
+                                       mismatch, gap, dp_scratch_i32);
+      const int32_t rv = nw_walk_score(akeys.data(), n,
+                                       rc_keys.data() + r * m_stride, m,
+                                       match, mismatch, gap, dp_scratch_i32);
+      const int32_t best = fw > rv ? fw : rv;
+      if (best < 0) nb++; else ng++;
+    }
+    *bad = nb;
+    *good = ng;
+    *unal = nu;
+  }
+
+  void append_path_row(int64_t path_counter, int64_t bad, int64_t good,
+                       int64_t alt, int32_t n_uniques, bool hamiltonian) {
+    out += std::to_string(path_counter);
+    out += '\t';
+    out += std::to_string(bad);
+    out += '\t';
+    out += std::to_string(good);
+    out += '\t';
+    out += std::to_string(alt);
+    out += '\t';
+    out += std::to_string(steps_sid.size());
+    out += '\t';
+    out += std::to_string(n_uniques);
+    out += '\t';
+    out += hamiltonian ? 'T' : 'F';
+    out += '\t';
+    for (size_t i = 0; i < steps_sid.size(); i++) {
+      if (i) out += ',';
+      const int32_t sid = steps_sid[i];
+      out.append(name_blob + name_off[sid],
+                 static_cast<size_t>(name_off[sid + 1] - name_off[sid]));
+      out += (steps_orc[i] == 0 ? '+' : steps_orc[i] == 1 ? '-' : '0');
+    }
+    out += '\n';
+  }
+
+  void run(int32_t source_uid) {
+    visit_cnt.assign(n_segments, 0);
+    intern_stride = static_cast<uint64_t>(adj_off[n_segments]) + 1;
+    // rc read keys once
+    rc_keys.assign(static_cast<size_t>(R) * m_stride, 0);
+    for (int64_t r = 0; r < R; r++) {
+      const int32_t* src = b_keys + r * m_stride;
+      int32_t* dst = rc_keys.data() + r * m_stride;
+      const int64_t m = b_len[r];
+      for (int64_t j = 0; j < m; j++) {
+        const int32_t k = src[m - 1 - j];
+        dst[j] = (k & ~3) | (((k & 3) == 0) ? 1 : 0);
+      }
+    }
+    nodes.push_back(PathNode{-1, source_uid, 2, -1});
+    std::vector<HeapItem> heap;
+    heap.push_back(HeapItem{0, 0, 0});
+    int64_t seq = 1;
+    int64_t best_alt = (int64_t(1) << 31) - 1;
+    int32_t best_uniques = 0;
+    int64_t path_counter = 0;
+    int64_t steps = 0;
+    std::vector<Expansion> exps, child_exps;
+    std::vector<int64_t> to_score;
+    std::vector<uint8_t> in_batch;  // seen_keys, indexed by pid
+    std::vector<int64_t> frontier, next_frontier;
+    std::vector<HeapItem> pool;
+    std::vector<int64_t> tallies;
+    std::vector<int32_t> ham_counts(n_segments, 0);
+    while (!heap.empty() && steps < max_steps) {
+      std::pop_heap(heap.begin(), heap.end(), HeapCmp());
+      const HeapItem top = heap.back();
+      heap.pop_back();
+      const int64_t upid = top.pid;
+      materialize(upid);
+      expansions_of(upid, exps);
+      if (exps.empty()) {
+        steps++;
+        continue;
+      }
+      to_score.clear();
+      if (in_batch.size() < nodes.size()) in_batch.resize(nodes.size(), 0);
+      auto want_score = [&](int64_t p) {
+        if (static_cast<size_t>(p) < sc_have.size() &&
+            (sc_have[p] || sc_pending[p] >= 0))
+          return;  // cached, or a peer's share already in flight
+        if (in_batch[p]) return;
+        in_batch[p] = 1;
+        to_score.push_back(p);
+      };
+      for (const Expansion& ex : exps) want_score(ex.cpid);
+      // the pop's own expansions head the batch; everyone scores them
+      // redundantly so the commit below never waits on a peer (measured:
+      // widening the redundant region to the descent children costs more
+      // extra scoring than it saves in waits)
+      const size_t n_imm = to_score.size();
+      if (speculate > 0 && !to_score.empty()) {
+        // descent speculation: spec_depth generations below this pop
+        frontier.clear();
+        for (const Expansion& ex : exps)
+          if (ex.nid != dest_uid) frontier.push_back(ex.cpid);
+        for (int32_t d = 0; d < spec_depth && to_score.size() <= 4096; d++) {
+          next_frontier.clear();
+          for (int64_t cp : frontier) {
+            materialize(cp);
+            expansions_of(cp, child_exps);
+            if (in_batch.size() < nodes.size())
+              in_batch.resize(nodes.size(), 0);
+            for (const Expansion& g : child_exps) {
+              want_score(g.cpid);
+              if (g.nid != dest_uid) next_frontier.push_back(g.cpid);
+            }
+          }
+          frontier.swap(next_frontier);
+          if (to_score.size() > 4096) break;
+        }
+        // heap-prefix speculation
+        const size_t span =
+            std::min(heap.size(), static_cast<size_t>(4 * speculate));
+        pool.assign(heap.begin(), heap.begin() + span);
+        std::sort(pool.begin(), pool.end(),
+                  [](const HeapItem& a, const HeapItem& b) {
+                    if (a.alt != b.alt) return a.alt < b.alt;
+                    return a.seq < b.seq;
+                  });
+        const size_t take =
+            std::min(pool.size(), static_cast<size_t>(speculate));
+        for (size_t i = 0; i < take; i++) {
+          materialize(pool[i].pid);
+          expansions_of(pool[i].pid, child_exps);
+          if (in_batch.size() < nodes.size())
+            in_batch.resize(nodes.size(), 0);
+          for (const Expansion& g : child_exps) want_score(g.cpid);
+        }
+      }
+      if (!to_score.empty() && nproc <= 1) {
+        for (size_t i = 0; i < to_score.size(); i++) {
+          const int64_t p = to_score[i];
+          ensure_pid(p);
+          eval_one(p, &sc_bad[p], &sc_good[p], &sc_unal[p]);
+          sc_have[p] = 1;
+          in_batch[p] = 0;
+        }
+      } else if (!to_score.empty()) {
+        // cap the speculative region so every process's 3-per-candidate
+        // share fits one ring slot (dropped tails just score later)
+        const int64_t max_spec =
+            static_cast<int64_t>(nproc) * (ring->width / 3);
+        size_t C = to_score.size();
+        if (static_cast<int64_t>(C - n_imm) > max_spec)
+          C = n_imm + static_cast<size_t>(max_spec);
+        for (size_t i = C; i < to_score.size(); i++)
+          in_batch[to_score[i]] = 0;
+        for (size_t i = 0; i < n_imm; i++) {  // redundant, sync-free
+          const int64_t p = to_score[i];
+          ensure_pid(p);
+          eval_one(p, &sc_bad[p], &sc_good[p], &sc_unal[p]);
+          sc_have[p] = 1;
+          in_batch[p] = 0;
+        }
+        const int64_t k = ring->pub;
+        std::vector<int64_t> spec(to_score.begin() + n_imm,
+                                  to_score.begin() + C);
+        tallies.clear();  // this process's contiguous share
+        for (size_t i = 0; i < spec.size(); i++) {
+          const int64_t p = spec[i];
+          ensure_pid(p);
+          if (static_cast<int64_t>(i % nproc) == pid) {
+            int64_t b, g, u2;
+            eval_one(p, &b, &g, &u2);
+            sc_bad[p] = b;
+            sc_good[p] = g;
+            sc_unal[p] = u2;
+            sc_have[p] = 1;
+            tallies.push_back(b);
+            tallies.push_back(g);
+            tallies.push_back(u2);
+          } else {
+            sc_pending[p] = k;
+          }
+          in_batch[p] = 0;
+        }
+        ring->publish(tallies.data(), static_cast<int64_t>(tallies.size()));
+        pending_batches.push_back(std::move(spec));
+      }
+      // commit in heap order
+      for (const Expansion& ex : exps) {
+        if (nproc > 1) consume(ex.cpid);
+        const int64_t alt =
+            sc_bad[ex.cpid] - sc_good[ex.cpid] - ex.n_uniques;
+        if (ex.nid != dest_uid) {
+          heap.push_back(HeapItem{alt, seq++, ex.cpid});
+          std::push_heap(heap.begin(), heap.end(), HeapCmp());
+        } else {
+          path_counter++;
+          materialize(ex.cpid);
+          // Hamiltonian: path length + 2 == node_count AND every record's
+          // uid appears exactly rec_counts times
+          bool ham =
+              (static_cast<int64_t>(steps_sid.size()) + 2 == node_count);
+          if (ham) {
+            for (int32_t sid : steps_sid) ham_counts[sid]++;
+            for (int32_t k = 0; k < n_records && ham; k++) {
+              const int32_t uid = rec_uids[k];
+              const int32_t have =
+                  (uid >= 0 && uid < n_segments) ? ham_counts[uid] : 0;
+              if (have != rec_counts[k]) ham = false;
+            }
+            for (int32_t sid : steps_sid) ham_counts[sid] = 0;
+          }
+          bool print_path = false;
+          if (ex.n_uniques >= min_nodes &&
+              (best_uniques < ex.n_uniques ||
+               (best_uniques == ex.n_uniques && best_alt > alt))) {
+            best_alt = alt;
+            best_uniques = ex.n_uniques;
+            print_path = true;
+          }
+          if (return_all || print_path)
+            append_path_row(path_counter, sc_bad[ex.cpid], sc_good[ex.cpid],
+                            alt, ex.n_uniques, ham);
+        }
+      }
+      steps++;
+    }
+    if (steps >= max_steps) {
+      out += "Reached maximum number of steps (";
+      out += std::to_string(steps);
+      out += ")\n";
+    }
+  }
+};
+
+}  // namespace search_impl
+
+// C ABI for the native search driver.  Returns 0 on success; the output
+// text (the exact bytes the Python driver would write to `out`) is
+// malloc'd into *out_text / *out_len and must be released with
+// search_free.  With nproc > 1 the speculative frontier is sharded
+// round-robin and tallies flow through the pipelined shm ring
+// (parallel/dist.make_shm_ring; the caller zeroes + barriers the ring
+// before the call).
+int32_t search_native(
+    const int32_t* adj_off, const int32_t* adj_nid, const int8_t* adj_or0,
+    const int8_t* adj_or1, int32_t n_segments, const int32_t* budget,
+    const int32_t* rec_uids, const int32_t* rec_counts, int32_t n_records,
+    int32_t node_count, int32_t source_uid, int32_t dest_uid,
+    const int32_t* b_keys, const int32_t* b_len, int64_t R, int64_t m_stride,
+    int32_t match, int32_t mismatch, int32_t gap, int64_t max_steps,
+    int32_t min_nodes, int32_t return_all, int32_t spec_depth,
+    int32_t speculate, const char* name_blob, const int64_t* name_off,
+    int32_t pid, int32_t nproc, int64_t* ring_base, int64_t ring_width,
+    int64_t ring_slots, char** out_text, int64_t* out_len) {
+  if (n_segments <= 0 || source_uid < 0 || source_uid >= n_segments ||
+      dest_uid < 0 || dest_uid >= n_segments)
+    return -1;
+  if (nproc > 1 && (ring_base == nullptr || ring_width < 3 || ring_slots < 2))
+    return -1;
+  search_impl::Driver d;
+  d.adj_off = adj_off;
+  d.adj_nid = adj_nid;
+  d.adj_or0 = adj_or0;
+  d.adj_or1 = adj_or1;
+  d.n_segments = n_segments;
+  d.budget = budget;
+  d.rec_uids = rec_uids;
+  d.rec_counts = rec_counts;
+  d.n_records = n_records;
+  d.node_count = node_count;
+  d.dest_uid = dest_uid;
+  d.b_keys = b_keys;
+  d.b_len = b_len;
+  d.R = R;
+  d.m_stride = m_stride;
+  d.match = match;
+  d.mismatch = mismatch;
+  d.gap = gap;
+  d.max_steps = max_steps;
+  d.min_nodes = min_nodes;
+  d.return_all = return_all != 0;
+  d.spec_depth = spec_depth;
+  d.speculate = speculate;
+  d.name_blob = name_blob;
+  d.name_off = name_off;
+  search_impl::RingX ring;
+  if (nproc > 1) {
+    ring.arr = ring_base;
+    ring.width = ring_width;
+    ring.ring = ring_slots;
+    ring.pid = pid;
+    ring.nproc = nproc;
+    d.ring = &ring;
+    d.pid = pid;
+    d.nproc = nproc;
+  }
+  d.run(source_uid);
+  char* buf = static_cast<char*>(std::malloc(d.out.size() + 1));
+  if (!buf) return -1;
+  std::memcpy(buf, d.out.data(), d.out.size());
+  buf[d.out.size()] = '\0';
+  *out_text = buf;
+  *out_len = static_cast<int64_t>(d.out.size());
+  return 0;
+}
+
+void search_free(char* p) { std::free(p); }
+
+// diagnostics: (total blocked seconds in shm waits, wait count) since the
+// last call; resets on read
+void search_wait_stats(double* wait_s, int64_t* waits) {
+  *wait_s = search_impl::g_shm_wait_s;
+  *waits = search_impl::g_shm_waits;
+  search_impl::g_shm_wait_s = 0.0;
+  search_impl::g_shm_waits = 0;
 }
 
 // Banded variant of seq_local_traceback: recompute only the band

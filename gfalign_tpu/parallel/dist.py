@@ -191,7 +191,89 @@ class _ShmExchange:
         return [int(v) for v in acc]
 
 
+class _ShmRing:
+    """Pipelined tally ring for the native search driver (the C++ side of
+    the protocol is native/gfalign_host.cpp RingX; see there for the
+    ordering argument).  Python only creates/maps/resets the buffer —
+    publication and draining happen in native code.
+
+    Layout (int64): [token][drained counter x count][count x SLOTS slots
+    of [seq, len, data[WIDTH]]]."""
+
+    WIDTH = 16384
+    SLOTS = 8
+
+    def __init__(self, client, pid: int, count: int, tag: str):
+        import mmap
+        import os
+
+        self.pid, self.count = pid, count
+        slot = 2 + self.WIDTH
+        self._slot = slot
+        n_i64 = 1 + count + count * self.SLOTS * slot
+        size = n_i64 * 8
+        path = f"/dev/shm/gfalign_ring_{tag}"
+        self._path = path
+        if pid == 0:
+            token = int.from_bytes(os.urandom(7), "little")
+            fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o600)
+            try:
+                os.ftruncate(fd, size)
+                self._mm = mmap.mmap(fd, size)
+            finally:
+                os.close(fd)
+            self._arr = np.frombuffer(self._mm, dtype=np.int64)
+            self._arr[0] = token
+            client.key_value_set(f"gfring/{tag}/token", str(token))
+            import atexit
+
+            atexit.register(self._cleanup)
+        else:
+            want = int(client.blocking_key_value_get(f"gfring/{tag}/token",
+                                                     600_000))
+            import time as _time
+
+            deadline = _time.monotonic() + 60.0
+            while True:
+                try:
+                    fd = os.open(path, os.O_RDWR)
+                    break
+                except FileNotFoundError:
+                    if _time.monotonic() > deadline:
+                        raise
+                    _time.sleep(0.001)
+            try:
+                self._mm = mmap.mmap(fd, size)
+            finally:
+                os.close(fd)
+            self._arr = np.frombuffer(self._mm, dtype=np.int64)
+            if int(self._arr[0]) != want:
+                raise RuntimeError("ring token mismatch (not same host?)")
+
+    def _cleanup(self):
+        import os
+
+        try:
+            os.unlink(self._path)
+        except OSError:
+            pass
+
+    def reset_local(self) -> None:
+        """Zero this process's drained counter and slot seq cells so a new
+        search starts from batch 0 (each process resets only cells it
+        owns; callers barrier afterwards)."""
+        self._arr[1 + self.pid] = 0
+        base = 1 + self.count + self.pid * self.SLOTS * self._slot
+        for s in range(self.SLOTS):
+            self._arr[base + s * self._slot] = 0
+
+    @property
+    def address(self) -> int:
+        return int(self._arr.ctypes.data)
+
+
 _SHM: list = [None]  # None = untried, False = unavailable, else exchange
+_RING: list = [None]
 
 
 def _shm_exchange():
@@ -232,6 +314,44 @@ def _shm_exchange():
     except Exception:
         _SHM[0] = False
     return _SHM[0]
+
+
+def _shm_ring():
+    """Establish (once) the same-host pipelined ring, or False.  Same
+    KV handshake pattern as _shm_exchange."""
+    got = _RING[0]
+    if got is not None:
+        return got
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is None:
+            raise RuntimeError("no distributed client")
+        pid, count = process_info()
+        addr = distributed.global_state.coordinator_address or "na"
+        tag = "".join(ch if ch.isalnum() else "_" for ch in addr)
+        ring = None
+        err = "0"
+        try:
+            ring = _ShmRing(client, pid, count, tag)
+            err = "1"
+        except Exception:
+            ring = None
+        client.key_value_set(f"gfring/{tag}/ok/{pid}", err)
+        all_ok = all(
+            client.blocking_key_value_get(f"gfring/{tag}/ok/{p}",
+                                          600_000) == "1"
+            for p in range(count))
+        if all_ok and ring is not None:
+            _RING[0] = ring
+        else:
+            if ring is not None and pid == 0:
+                ring._cleanup()
+            _RING[0] = False
+    except Exception:
+        _RING[0] = False
+    return _RING[0]
 
 
 def _kv_allreduce(totals: List[int], count: int) -> List[int] | None:

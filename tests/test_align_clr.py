@@ -79,3 +79,39 @@ def test_unknown_preset_aborts(tmp_path, capsys):
     with pytest.raises(SystemExit):
         run_graph_aligner(g, [str(reads)], "", preset="nope")
     assert "Could not find preset: nope" in capsys.readouterr().out
+
+
+def test_cli_align_tunables_and_invoking_echo(tmp_path, capsys):
+    """`gfalign align` exposes the AlignParams knobs (both in-house names
+    and GraphAligner-compatible aliases) and echoes the resolved
+    invocation — the analogue of the reference's `Invoking: <cmd>` line
+    (src/main.cpp:167-168)."""
+    from gfalign_tpu.cli.main import main as cli_main
+    from gfalign_tpu.engine import graph_align as ga
+
+    ref = "/root/reference/testFiles"
+    out = tmp_path / "tuned.gaf"
+    seen = {}
+    orig = ga.align_reads
+
+    def probe(graph, reads, params=None, **kw):
+        seen["params"] = params
+        return orig(graph, reads, params=params, **kw)
+
+    ga.align_reads = probe
+    try:
+        rc = cli_main(["align", "-f", f"{ref}/random2.gfa",
+                       "-r", f"{ref}/random2.reads.fq", "-o", str(out),
+                       "--seeds-mxm-length", "11",
+                       "--min-alignment-score", "7",
+                       "--band", "260", "--max-anchors", "9"])
+    finally:
+        ga.align_reads = orig
+    assert rc == 0
+    echoed = capsys.readouterr().out
+    assert "Invoking: gfalign-tpu-align -p hifi" in echoed
+    assert "--seed-k 11" in echoed and "--min-score 7" in echoed
+    p = seen["params"]
+    assert (p.seed_k, p.min_score, p.max_anchors) == (11, 7, 9)
+    assert p.band == 264 and p.band % 8 == 0      # rounded to sublanes
+    assert out.exists() and out.stat().st_size > 0
