@@ -49,19 +49,24 @@ def load_gaf_cache(path: str):
         return None
     try:
         data = np.load(f, allow_pickle=False)
-        from .native import GafTokens
+        from .native import GafTokens, RaggedStrings
 
-        def blob(name):
+        count = int(data["numeric"].shape[0])
+
+        def names_list(name):
             s = data[name].tobytes().decode("utf-8")
             parts = s.split("\n")
             if parts and parts[-1] == "":
                 parts.pop()
             return parts
 
+        def ragged(name):
+            return RaggedStrings.from_blob(data[name].tobytes(), count)
+
         tokens = GafTokens(data["step_ids"], data["step_orients"],
-                           data["offsets"], blob("dict_names"))
-        return (data["numeric"], blob("qnames"), blob("paths"),
-                blob("tails"), tokens)
+                           data["offsets"], names_list("dict_names"))
+        return (data["numeric"], ragged("qnames"), ragged("paths"),
+                ragged("tails"), tokens)
     except Exception:
         return None
 
@@ -77,6 +82,14 @@ def store_gaf_cache(path: str, numeric, qnames, paths, tails, tokens) -> None:
     tmp = f.with_suffix(".tmp.npz")
 
     def blob(parts):
+        starts = getattr(parts, "starts", None)
+        if starts is not None:
+            # contiguous lazy column: reuse its backing blob verbatim
+            ends = parts.ends
+            if (len(starts) == 0
+                    or (starts[0] == 0 and np.all(starts[1:] == ends[:-1] + 1)
+                        and int(ends[-1]) == len(parts.blob) - 1)):
+                return np.frombuffer(parts.blob, dtype=np.uint8)
         return np.frombuffer(("\n".join(parts) + "\n").encode("utf-8"),
                              dtype=np.uint8)
 

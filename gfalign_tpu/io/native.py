@@ -199,6 +199,67 @@ def _blob_to_list(ptr: int, length: int) -> List[str]:
     return parts
 
 
+class RaggedStrings:
+    """Lazy blob-backed string column: one bytes blob plus (starts, ends)
+    int64 offset arrays.  Indexing decodes a single entry; permutation and
+    subsetting just index the offset arrays (zero string copies) — eagerly
+    splitting a 10M-record GAF's paths column into Python strings cost
+    ~10 s and a few GB, almost all of it never looked at."""
+
+    __slots__ = ("blob", "starts", "ends")
+
+    def __init__(self, blob: bytes, starts: np.ndarray, ends: np.ndarray):
+        self.blob = blob
+        self.starts = starts
+        self.ends = ends
+
+    @classmethod
+    def from_blob(cls, blob: bytes, count: int) -> "RaggedStrings":
+        """blob = count '\\n'-terminated lines."""
+        arr = np.frombuffer(blob, np.uint8)
+        nl = np.flatnonzero(arr == 10)[:count]
+        starts = np.empty(count, np.int64)
+        if count:
+            starts[0] = 0
+            starts[1:] = nl[:count - 1] + 1
+        return cls(blob, starts, nl.astype(np.int64))
+
+    @classmethod
+    def from_list(cls, parts) -> "RaggedStrings":
+        blob = ("\n".join(parts) + "\n").encode() if len(parts) else b""
+        return cls.from_blob(blob, len(parts))
+
+    def __len__(self) -> int:
+        return len(self.starts)
+
+    def __getitem__(self, i) -> str:
+        return self.blob[self.starts[i]:self.ends[i]].decode()
+
+    def __iter__(self):
+        blob = self.blob
+        for s, e in zip(self.starts, self.ends):
+            yield blob[s:e].decode()
+
+    def take(self, order) -> "RaggedStrings":
+        order = np.asarray(order, np.int64)
+        return RaggedStrings(self.blob, self.starts[order], self.ends[order])
+
+    def as_bytes_array(self) -> np.ndarray:
+        """Fixed-width 'S' array (NUL-padded; byte order == str order for
+        UTF-8), for vectorized compare/sort."""
+        n = len(self.starts)
+        lens = self.ends - self.starts
+        w = int(lens.max()) if n else 1
+        w = max(w, 1)
+        arr = np.frombuffer(self.blob, np.uint8)
+        cols = np.arange(w, dtype=np.int64)
+        idx = self.starts[:, None] + cols[None, :]
+        np.minimum(idx, len(arr) - 1, out=idx)
+        out = arr[idx]                       # one flat gather
+        out[cols[None, :] >= lens[:, None]] = 0
+        return np.ascontiguousarray(out).reshape(n * w).view(f"S{w}")
+
+
 class GafTokens:
     """Columnar path tokens: flat dictionary ids + orientations with
     per-record offsets, plus the dictionary name list."""
@@ -210,65 +271,104 @@ class GafTokens:
         self.names = names              # dictionary id -> node name
 
     def subset(self, order: np.ndarray) -> "GafTokens":
-        """Reorder/subset records (after sort/filter)."""
-        lengths = np.diff(self.offsets)[order]
+        """Reorder/subset records (after sort/filter) — one vectorized
+        gather.  The gather index is built as a cumsum of per-step deltas
+        (1 within a record, a jump at each record boundary): np.repeat
+        with per-element counts cost ~40 s at 77M steps on this box,
+        the delta-cumsum runs in ~2 s."""
+        order = np.asarray(order, np.int64)
+        lengths = np.diff(self.offsets)[order].astype(np.int64)
         new_offsets = np.zeros(len(order) + 1, dtype=np.int32)
         np.cumsum(lengths, out=new_offsets[1:])
         total = int(new_offsets[-1])
-        ids = np.empty(total, dtype=np.int32)
-        orients = np.empty(total, dtype=np.int8)
-        for new_i, old_i in enumerate(order):
-            s, e = self.offsets[old_i], self.offsets[old_i + 1]
-            ids[new_offsets[new_i]:new_offsets[new_i + 1]] = self.step_ids[s:e]
-            orients[new_offsets[new_i]:new_offsets[new_i + 1]] = self.step_orients[s:e]
-        return GafTokens(ids, orients, new_offsets, self.names)
+        if total == 0:
+            return GafTokens(self.step_ids[:0], self.step_orients[:0],
+                             new_offsets, self.names)
+        nz = lengths > 0
+        o_nz = self.offsets[order].astype(np.int64)[nz]
+        l_nz = lengths[nz]
+        pos = np.zeros(len(l_nz), np.int64)
+        np.cumsum(l_nz[:-1], out=pos[1:])
+        idx = np.ones(total, np.int64)
+        idx[pos[0]] = o_nz[0]
+        idx[pos[1:]] = o_nz[1:] - (o_nz[:-1] + l_nz[:-1]) + 1
+        np.cumsum(idx, out=idx)
+        return GafTokens(np.ascontiguousarray(self.step_ids)[idx],
+                         np.ascontiguousarray(self.step_orients)[idx],
+                         new_offsets, self.names)
+
+
+class _GafHandle:
+    """Owns a native GafData*; numeric/step arrays returned by parse_gaf
+    are zero-copy views into it (copying the 800 MB numeric block alone
+    cost ~6 s on this box), so the handle must outlive them — the views
+    are tied to it via _OwnedArray."""
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._handle = handle
+
+    def __del__(self):
+        try:
+            self._lib.gaf_close(self._handle)
+        except Exception:
+            pass
+
+
+class _OwnedArray(np.ndarray):
+    """ndarray subclass that can carry an owner reference."""
+
+
+def _view_owned(ptr, shape, owner) -> np.ndarray:
+    a = np.ctypeslib.as_array(ptr, shape=shape).view(_OwnedArray)
+    a._owner = owner
+    return a
 
 
 def parse_gaf(path: str, want_tokens: bool = False):
     """(numeric (N,10) int64, qnames, paths, tagtails[, tokens]) or None.
 
     numeric columns: qlen qstart qend strand plen pstart pend matches
-    blocklen mapq (strand: 0='+', 1='-')."""
+    blocklen mapq (strand: 0='+', 1='-').  The string columns come back
+    as RaggedStrings (lazy, blob-backed); numeric/step arrays are
+    zero-copy views owned by the parse handle."""
     lib = _load()
     if lib is None:
         return None
     handle = lib.gaf_open(str(path).encode())
     if not handle:
         return None
-    try:
-        count = lib.gaf_count(handle)
-        if count == 0:
-            empty_tokens = GafTokens(np.zeros(0, np.int32), np.zeros(0, np.int8),
-                                     np.zeros(1, np.int32), [])
-            if want_tokens:
-                return np.zeros((0, 10), np.int64), [], [], [], empty_tokens
-            return np.zeros((0, 10), np.int64), [], [], []
-        numeric = np.ctypeslib.as_array(lib.gaf_numeric(handle),
-                                        shape=(count, 10)).copy()
-        out_len = ctypes.c_int64()
-        qnames = _blob_to_list(lib.gaf_strings(handle, 0, ctypes.byref(out_len)),
-                               out_len.value)
-        paths = _blob_to_list(lib.gaf_strings(handle, 1, ctypes.byref(out_len)),
-                              out_len.value)
-        tails = _blob_to_list(lib.gaf_strings(handle, 2, ctypes.byref(out_len)),
-                              out_len.value)
-        if not want_tokens:
-            return numeric, qnames, paths, tails
-        total = lib.gaf_step_count(handle)
-        step_ids = np.ctypeslib.as_array(lib.gaf_step_ids(handle),
-                                         shape=(max(total, 1),))[:total].copy()
-        step_orients = np.ctypeslib.as_array(lib.gaf_step_orients(handle),
-                                             shape=(max(total, 1),))[:total].copy()
-        offsets = np.ctypeslib.as_array(lib.gaf_path_offsets(handle),
-                                        shape=(count + 1,)).copy()
-        names = _blob_to_list(lib.gaf_dict_names(handle, ctypes.byref(out_len)),
-                              out_len.value)
-        tokens = GafTokens(step_ids.astype(np.int32),
-                           step_orients.astype(np.int8),
-                           offsets.astype(np.int32), names)
-        return numeric, qnames, paths, tails, tokens
-    finally:
-        lib.gaf_close(handle)
+    owner = _GafHandle(lib, handle)
+    count = lib.gaf_count(handle)
+    if count == 0:
+        empty_tokens = GafTokens(np.zeros(0, np.int32), np.zeros(0, np.int8),
+                                 np.zeros(1, np.int32), [])
+        empty = RaggedStrings(b"", np.zeros(0, np.int64), np.zeros(0, np.int64))
+        if want_tokens:
+            return np.zeros((0, 10), np.int64), empty, empty, empty, empty_tokens
+        return np.zeros((0, 10), np.int64), empty, empty, empty
+    numeric = _view_owned(lib.gaf_numeric(handle), (count, 10), owner)
+    out_len = ctypes.c_int64()
+
+    def blob(which):
+        p = lib.gaf_strings(handle, which, ctypes.byref(out_len))
+        return RaggedStrings.from_blob(ctypes.string_at(p, out_len.value),
+                                       count)
+
+    qnames, paths, tails = blob(0), blob(1), blob(2)
+    if not want_tokens:
+        return numeric, qnames, paths, tails
+    total = lib.gaf_step_count(handle)
+    step_ids = _view_owned(lib.gaf_step_ids(handle), (max(total, 1),),
+                           owner)[:total]
+    step_orients = _view_owned(lib.gaf_step_orients(handle),
+                               (max(total, 1),), owner)[:total]
+    offsets = np.ctypeslib.as_array(lib.gaf_path_offsets(handle),
+                                    shape=(count + 1,)).astype(np.int32)
+    names = _blob_to_list(lib.gaf_dict_names(handle, ctypes.byref(out_len)),
+                          out_len.value)
+    tokens = GafTokens(step_ids, step_orients, offsets, names)
+    return numeric, qnames, paths, tails, tokens
 
 
 def parse_gfa(path: str):

@@ -98,6 +98,12 @@ struct FqData {
   int64_t count = 0;
 };
 
+double host_mono_s() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+
 bool read_file(const char* path, std::string& out) {
   std::ifstream in(path, std::ios::binary | std::ios::ate);
   if (!in) return false;
@@ -107,7 +113,9 @@ bool read_file(const char* path, std::string& out) {
   return size == 0 || static_cast<bool>(in.read(&out[0], size));
 }
 
-// Parse [begin, end) of the buffer (whole lines) into one chunk.
+// Parse [begin, end) of the buffer (whole lines) into one chunk, then
+// tokenize the chunk's paths (runs inside the chunk's own thread; the
+// merge step remaps local dictionary ids to global first-mention order).
 void parse_gaf_chunk(const char* buf, size_t begin, size_t end, GafData* out) {
   size_t pos = begin;
   while (pos < end) {
@@ -167,6 +175,7 @@ void parse_gaf_chunk(const char* buf, size_t begin, size_t end, GafData* out) {
     }
     pos = eol + 1;
   }
+  tokenize_paths(out);
 }
 
 // user-requested worker cap (reference -j/--threads -> threadPool.init,
@@ -320,8 +329,14 @@ extern "C" {
 void gfalign_set_threads(int n) { g_max_threads = n; }
 
 GafData* gaf_open(const char* path) {
+  const bool diag = getenv("GFALIGN_NATIVE_DIAG") != nullptr;
+  double t0 = diag ? host_mono_s() : 0.0;
   std::string buf;
   if (!read_file(path, buf)) return nullptr;
+  if (diag) {
+    fprintf(stderr, "gaf_open read_file %.2fs\n", host_mono_s() - t0);
+    t0 = host_mono_s();
+  }
   size_t n = buf.size();
   unsigned hw = g_max_threads > 0 ? (unsigned)g_max_threads
                                   : std::thread::hardware_concurrency();
@@ -343,15 +358,94 @@ GafData* gaf_open(const char* path) {
                          &chunks[c]);
   }
   for (auto& t : threads) t.join();
+  buf.clear();
+  buf.shrink_to_fit();  // drop the 1 GB raw buffer before merging
+  if (diag) {
+    fprintf(stderr, "gaf_open parse %.2fs\n", host_mono_s() - t0);
+    t0 = host_mono_s();
+  }
+  // merge preserves input order.  Sizes are known, so reserve up front —
+  // repeated unreserved string += cost ~10 s at the 1 GB scale — and the
+  // per-chunk tokenization (done inside the parse threads) merges via a
+  // local-id -> global-id remap that preserves the sequential parser's
+  // first-mention dictionary order.
   GafData* out = new GafData();
-  for (auto& ch : chunks) {  // merge preserves input order
+  size_t t_num = 0, t_q = 0, t_p = 0, t_t = 0, t_steps = 0;
+  for (auto& ch : chunks) {
+    t_num += ch.numeric.size();
+    t_q += ch.qnames.size();
+    t_p += ch.paths.size();
+    t_t += ch.tagtails.size();
+    t_steps += ch.step_ids.size();
+  }
+  std::unordered_map<std::string, int32_t> gdict;
+  std::vector<int32_t> lut;
+  out->path_offsets.push_back(0);
+  bool first_chunk = true;
+  for (auto& ch : chunks) {
+    if (first_chunk) {
+      // adopt chunk 0 wholesale (its local dictionary IS the global
+      // prefix) instead of copying ~1 GB of strings
+      out->numeric = std::move(ch.numeric);
+      out->qnames = std::move(ch.qnames);
+      out->paths = std::move(ch.paths);
+      out->tagtails = std::move(ch.tagtails);
+      out->count = ch.count;
+      out->step_ids = std::move(ch.step_ids);
+      out->step_orients = std::move(ch.step_orients);
+      out->path_offsets = std::move(ch.path_offsets);
+      out->dict_names = std::move(ch.dict_names);
+      out->dict_size = ch.dict_size;
+      size_t pos = 0;
+      int32_t local = 0;
+      while (pos < out->dict_names.size()) {
+        size_t eol = out->dict_names.find('\n', pos);
+        gdict.emplace(out->dict_names.substr(pos, eol - pos), local++);
+        pos = eol + 1;
+      }
+      out->numeric.reserve(t_num);
+      out->qnames.reserve(t_q);
+      out->paths.reserve(t_p);
+      out->tagtails.reserve(t_t);
+      out->step_ids.reserve(t_steps);
+      out->step_orients.reserve(t_steps);
+      first_chunk = false;
+      continue;
+    }
     out->numeric.insert(out->numeric.end(), ch.numeric.begin(), ch.numeric.end());
     out->qnames += ch.qnames;
     out->paths += ch.paths;
     out->tagtails += ch.tagtails;
     out->count += ch.count;
+    // local -> global dictionary ids (first mention in input order)
+    lut.assign(static_cast<size_t>(ch.dict_size), 0);
+    size_t pos = 0;
+    int32_t local = 0;
+    while (pos < ch.dict_names.size()) {
+      size_t eol = ch.dict_names.find('\n', pos);
+      std::string name = ch.dict_names.substr(pos, eol - pos);
+      auto it = gdict.find(name);
+      int32_t gid;
+      if (it == gdict.end()) {
+        gid = out->dict_size++;
+        gdict.emplace(std::move(name), gid);
+        out->dict_names.append(ch.dict_names, pos, eol - pos);
+        out->dict_names.push_back('\n');
+      } else {
+        gid = it->second;
+      }
+      lut[local++] = gid;
+      pos = eol + 1;
+    }
+    const int32_t base = static_cast<int32_t>(out->step_ids.size());
+    for (int32_t id : ch.step_ids) out->step_ids.push_back(lut[id]);
+    out->step_orients.insert(out->step_orients.end(), ch.step_orients.begin(),
+                             ch.step_orients.end());
+    for (size_t k = 1; k < ch.path_offsets.size(); k++)
+      out->path_offsets.push_back(base + ch.path_offsets[k]);
   }
-  tokenize_paths(out);
+  if (diag)
+    fprintf(stderr, "gaf_open merge+tokmerge %.2fs\n", host_mono_s() - t0);
   return out;
 }
 
@@ -958,11 +1052,7 @@ struct PathNode {
 static double g_shm_wait_s = 0.0;   // diagnostic: total blocked time
 static int64_t g_shm_waits = 0;
 
-static double mono_s() {
-  struct timespec ts;
-  clock_gettime(CLOCK_MONOTONIC, &ts);
-  return ts.tv_sec + ts.tv_nsec * 1e-9;
-}
+static double mono_s() { return host_mono_s(); }
 
 static void shm_wait_ge(const int64_t* cell, int64_t want) {
   if (__atomic_load_n(cell, __ATOMIC_ACQUIRE) >= want) return;
