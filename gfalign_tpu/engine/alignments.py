@@ -364,9 +364,8 @@ class AlignmentSet:
 
         if path == "-" or not os.path.isfile(path):
             return False
-        with open(path, "rb") as probe:
-            if probe.read(2) == b"\x1f\x8b":  # gzip -> python path
-                return False
+        # gz inputs stay on the native path: the C++ loader inflates them
+        # in-memory (read_file/inflate_gz) before the threaded chunk parse
         from ..io import cache
 
         parsed = cache.load_gaf_cache(path)

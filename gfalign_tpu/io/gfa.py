@@ -134,20 +134,17 @@ def parse_gfa_lines(lines: Iterable[str], graph: Graph = None) -> Graph:
 
 
 def read_gfa(path: str) -> Graph:
-    """Read a GFA file.  Plain files take the native columnar fast path
-    (threaded C++ chunk parse, gfalign_host.cpp — the role of gfalibs'
-    threaded readGFA, reference src/input-gfalign.cpp:43-45); gzip/stdin
-    and toolchain-less installs use the pure-Python line parser.  Both
+    """Read a GFA file.  Plain AND gzipped files take the native columnar
+    fast path (threaded C++ chunk parse, gfalign_host.cpp, which inflates
+    gz in-memory — the role of gfalibs' gz-capable StreamObj + threaded
+    readGFA, reference src/input-gfalign.cpp:42-45); stdin and
+    toolchain-less installs use the pure-Python line parser.  Both
     produce identical graphs (tests/test_native.py)."""
     if path != "-":
         import pathlib
 
         p = pathlib.Path(path)
-        try:
-            is_gz = p.is_file() and open(path, "rb").read(2) == b"\x1f\x8b"
-        except OSError:
-            is_gz = False
-        if p.is_file() and not is_gz:
+        if p.is_file():
             graph = _read_gfa_native(path)
             if graph is not None:
                 return graph

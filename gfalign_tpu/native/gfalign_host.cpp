@@ -22,6 +22,8 @@
 #include <sched.h>
 #endif
 
+#include <zlib.h>
+
 #include <algorithm>
 #include <cstdint>
 #include <cstdlib>
@@ -104,13 +106,53 @@ double host_mono_s() {
   return ts.tv_sec + ts.tv_nsec * 1e-9;
 }
 
+// Transparent gzip support (gfalibs parity: StreamObj streams gz inputs,
+// reference src/input-gfalign.cpp:42): gz files are inflated into the
+// in-memory buffer via zlib, so the threaded chunk parsers see plain
+// text either way and gz inputs keep the columnar fast path.
+bool inflate_gz(const std::string& raw, std::string& out) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, 15 + 32) != Z_OK) return false;  // gzip + zlib
+  out.clear();
+  out.reserve(raw.size() * 4);
+  zs.next_in = reinterpret_cast<Bytef*>(const_cast<char*>(raw.data()));
+  zs.avail_in = static_cast<uInt>(raw.size());
+  std::vector<char> chunk(1 << 20);
+  int rc = Z_OK;
+  do {
+    zs.next_out = reinterpret_cast<Bytef*>(chunk.data());
+    zs.avail_out = static_cast<uInt>(chunk.size());
+    rc = inflate(&zs, Z_NO_FLUSH);
+    if (rc != Z_OK && rc != Z_STREAM_END) {
+      inflateEnd(&zs);
+      return false;
+    }
+    out.append(chunk.data(), chunk.size() - zs.avail_out);
+    if (rc == Z_STREAM_END && zs.avail_in > 0) {
+      // concatenated gzip members (bgzip etc.): restart on the remainder
+      if (inflateReset2(&zs, 15 + 32) != Z_OK) break;
+      rc = Z_OK;
+    }
+  } while (rc != Z_STREAM_END && (zs.avail_in > 0 || zs.avail_out == 0));
+  inflateEnd(&zs);
+  return rc == Z_STREAM_END;
+}
+
 bool read_file(const char* path, std::string& out) {
   std::ifstream in(path, std::ios::binary | std::ios::ate);
   if (!in) return false;
   std::streamsize size = in.tellg();
   in.seekg(0);
   out.resize(static_cast<size_t>(size));
-  return size == 0 || static_cast<bool>(in.read(&out[0], size));
+  if (size != 0 && !in.read(&out[0], size)) return false;
+  if (out.size() >= 2 && static_cast<unsigned char>(out[0]) == 0x1f &&
+      static_cast<unsigned char>(out[1]) == 0x8b) {
+    std::string plain;
+    if (!inflate_gz(out, plain)) return false;
+    out.swap(plain);
+  }
+  return true;
 }
 
 // Parse [begin, end) of the buffer (whole lines) into one chunk, then

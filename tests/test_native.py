@@ -202,3 +202,33 @@ def test_native_gfa_fuzz_matches_python(tmp_path):
             for sid in range(g.n_segments):
                 g.segment(sid)
         assert _graph_fingerprint(got) == _graph_fingerprint(want), seed
+
+
+def test_native_gz_inputs_match_plain(tmp_path):
+    """gz GFA/GAF go through the native loader (in-memory inflate) and
+    produce byte-identical results to the plain files (gfalibs StreamObj
+    parity, reference src/input-gfalign.cpp:42)."""
+    import gzip
+    import shutil
+
+    from gfalign_tpu.engine.alignments import AlignmentSet
+    from gfalign_tpu.io.gfa import read_gfa
+
+    ref = "/root/reference/testFiles"
+    for base in ("random2.gfa", "random2.gaf"):
+        src = f"{ref}/{base}"
+        dst = tmp_path / (base + ".gz")
+        with open(src, "rb") as fi, gzip.open(dst, "wb") as fo:
+            shutil.copyfileobj(fi, fo)
+    g_plain = read_gfa(f"{ref}/random2.gfa")
+    g_gz = read_gfa(str(tmp_path / "random2.gfa.gz"))
+    assert [s.name for s in g_plain.segments] == [s.name for s in g_gz.segments]
+    assert [s.seq for s in g_plain.segments] == [s.seq for s in g_gz.segments]
+    assert len(g_plain.links) == len(g_gz.links)
+    a_plain = AlignmentSet(); a_plain.load(f"{ref}/random2.gaf")
+    a_gz = AlignmentSet(); a_gz.load(str(tmp_path / "random2.gaf.gz"))
+    assert a_plain.count == a_gz.count
+    assert all(a_plain.line_at(i) == a_gz.line_at(i)
+               for i in range(a_plain.count))
+    # the gz load must have taken the columnar path (tokens present)
+    assert a_gz.tokens is not None
