@@ -133,10 +133,18 @@ def run_pipeline(out_dir: str, seed: int, n_segments: int, n_reads: int,
     res["search_top"] = (search_out.splitlines() or [""])[-1 - int(capped)] \
         if search_out.strip() else ""
 
+    # cold run (includes any first-call compile) AND warm repeat, reported
+    # separately: r3's evalPath timings swung 0.05 s vs 0.97 s for the
+    # same workload because compile time was sometimes included
     t0 = time.perf_counter()
     _rc, ep_out = _run_cli(["evalPath", "-f", paths["gfa"], "-g", filtered,
                             "-p", wl.true_path], capture=True)
-    res["evalpath_s"] = round(time.perf_counter() - t0, 2)
+    res["evalpath_cold_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    _rc, ep_out = _run_cli(["evalPath", "-f", paths["gfa"], "-g", filtered,
+                            "-p", wl.true_path], capture=True)
+    res["evalpath_warm_s"] = round(time.perf_counter() - t0, 2)
+    res["evalpath_s"] = res["evalpath_warm_s"]
     res["evalpath_last"] = ep_out.strip().splitlines()[-1] if ep_out.strip() else ""
     return res
 

@@ -146,8 +146,27 @@ out["markdup_only_s"] = round(time.perf_counter() - t_md, 2)
 fin()
 del aln
 
+fin = stage("big_sort")
+aln = AlignmentSet()
+aln.load(str(big))
+t_s = time.perf_counter()
+aln.sort_by_name()
+out["sort_only_s"] = round(time.perf_counter() - t_s, 2)
+fin()
+del aln
+
 fin = stage("big_filter")
 filtered = d / "big_tangle.gaf"
+# op-only split: the stage wall includes the (shared) load; the
+# filter itself is the vectorized membership + emission
+aln = AlignmentSet()
+aln.load(str(big))
+t_f = time.perf_counter()
+aln.filter_by_nodelist([ln.split("\t")[0] for ln in
+                        open(paths["filter_nodelist"]).read().splitlines()
+                        if ln], 0)
+out["filter_only_s"] = round(time.perf_counter() - t_f, 2)
+del aln
 run_cli(["filter", "-g", str(big), "-n", paths["filter_nodelist"],
          "-o", str(filtered)])
 fin(big_filtered=sum(1 for _ in open(filtered)))

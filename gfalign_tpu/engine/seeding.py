@@ -80,18 +80,32 @@ class KmerIndex:
             codes = np.concatenate(parts)
             lens = np.asarray(len_l, np.int64)
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            kms = _kmer_codes(codes, k)
-            pos = np.arange(len(kms), dtype=np.int64)
-            blk = np.searchsorted(starts, pos, "right") - 1
-            ok = (kms >= 0) & (pos + k <= starts[blk] + lens[blk])
-            kms = kms[ok]
-            blk = blk[ok]
-            offs = (pos[ok] - starts[blk]).astype(np.int32)
-            order = np.argsort(kms, kind="stable")
-            self.kmers = kms[order]                      # (T,) sorted
-            self.sids = np.asarray(sid_l, np.int32)[blk][order]
-            self.orients = np.asarray(or_l, np.int8)[blk][order]
-            self.offs = offs[order]
+            from ..io import native
+
+            built = native.kmer_index_build(codes, starts, lens, k)
+            if built is not None:
+                # native rolling scan + stable radix sort — the numpy
+                # block below cost ~375 s / 11.5 GB peak at 168M postings
+                # (searchsorted + int64 argsort dominate); the native
+                # build is ~20 s / ~4 GB with identical posting order
+                kms, blk, offs = built
+                self.kmers = kms        # int32: k <= 15 fits 30 bits
+                self.sids = np.asarray(sid_l, np.int32)[blk]
+                self.orients = np.asarray(or_l, np.int8)[blk]
+                self.offs = offs
+            else:
+                kms = _kmer_codes(codes, k)
+                pos = np.arange(len(kms), dtype=np.int64)
+                blk = np.searchsorted(starts, pos, "right") - 1
+                ok = (kms >= 0) & (pos + k <= starts[blk] + lens[blk])
+                kms = kms[ok]
+                blk = blk[ok]
+                offs = (pos[ok] - starts[blk]).astype(np.int32)
+                order = np.argsort(kms, kind="stable")
+                self.kmers = kms[order]                  # (T,) sorted
+                self.sids = np.asarray(sid_l, np.int32)[blk][order]
+                self.orients = np.asarray(or_l, np.int8)[blk][order]
+                self.offs = offs[order]
         else:
             self.kmers = np.empty(0, np.int64)
             self.sids = np.empty(0, np.int32)
@@ -99,8 +113,18 @@ class KmerIndex:
             self.offs = np.empty(0, np.int32)
         # CSR over UNIQUE k-mers: one searchsorted on the (smaller) unique
         # array replaces the left+right pair on the full postings — the
-        # postings search was 7.4 s of a 57 s 1k-read align pass
-        self.uniq, starts = np.unique(self.kmers, return_index=True)
+        # postings search was 7.4 s of a 57 s 1k-read align pass.
+        # self.kmers is already sorted, so dedupe via adjacent-diff:
+        # np.unique RE-sorts and cost ~60 s at 168M postings.
+        if len(self.kmers):
+            is_new = np.empty(len(self.kmers), bool)
+            is_new[0] = True
+            np.not_equal(self.kmers[1:], self.kmers[:-1], out=is_new[1:])
+            starts = np.flatnonzero(is_new)
+            self.uniq = self.kmers[starts]
+        else:
+            starts = np.empty(0, np.int64)
+            self.uniq = self.kmers
         self.starts = np.concatenate(
             [starts, [len(self.kmers)]]).astype(np.int64)
 
@@ -110,7 +134,7 @@ class KmerIndex:
         if not len(self.uniq):
             z = np.zeros(len(q), np.int64)
             return z, z
-        j = np.searchsorted(self.uniq, q)
+        j = np.searchsorted(self.uniq, np.asarray(q).astype(self.uniq.dtype))
         jj = np.minimum(j, len(self.uniq) - 1)
         hit = self.uniq[jj] == q
         lo = self.starts[jj]

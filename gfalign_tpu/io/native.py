@@ -157,6 +157,13 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64)]
     lib.search_free.restype = None
     lib.search_free.argtypes = [ctypes.c_char_p]
+    lib.kmer_index_build.restype = ctypes.c_int64
+    lib.kmer_index_build.argtypes = [
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
     lib.nw_evaluate_frontier.restype = None
     lib.nw_evaluate_frontier.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -535,6 +542,39 @@ def native_search(adj_off, adj_nid, adj_or0, adj_or1, n_segments, budget,
     text = ctypes.string_at(out_text, out_len.value)
     lib.search_free(out_text)
     return text
+
+
+def kmer_index_build(codes: np.ndarray, starts: np.ndarray,
+                     lens: np.ndarray, k: int):
+    """(kmers, blks, offs) int32 postings sorted stably by k-mer code, or
+    None (no library / k > 15).  codes: concatenated int8 base codes;
+    starts/lens delimit the oriented-segment blocks."""
+    lib = _load()
+    if lib is None or k > 15:
+        return None
+    cd = np.ascontiguousarray(codes, np.int8)
+    st = np.ascontiguousarray(starts, np.int64)
+    ln = np.ascontiguousarray(lens, np.int64)
+    i8 = ctypes.POINTER(ctypes.c_int8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    n_blocks = len(st)
+    total = lib.kmer_index_build(
+        cd.ctypes.data_as(i8), len(cd), st.ctypes.data_as(i64),
+        ln.ctypes.data_as(i64), n_blocks, k, None, None, None)
+    if total < 0:
+        return None
+    kmers = np.empty(total, np.int32)
+    blks = np.empty(total, np.int32)
+    offs = np.empty(total, np.int32)
+    got = lib.kmer_index_build(
+        cd.ctypes.data_as(i8), len(cd), st.ctypes.data_as(i64),
+        ln.ctypes.data_as(i64), n_blocks, k,
+        kmers.ctypes.data_as(i32), blks.ctypes.data_as(i32),
+        offs.ctypes.data_as(i32))
+    if got != total:
+        return None
+    return kmers, blks, offs
 
 
 def nw_evaluate_frontier(a_keys: np.ndarray, a_len: np.ndarray,

@@ -1661,6 +1661,131 @@ int32_t search_native(
 
 void search_free(char* p) { std::free(p); }
 
+// k-mer postings index build: rolling-hash scan over the concatenated
+// oriented-segment code blocks, then a STABLE two-pass LSD radix sort by
+// k-mer code (stability preserves the per-block ascending-offset posting
+// order the Python dict/loop builds produced).  Two-call protocol: with
+// kmers == NULL returns the posting count; the second call fills the
+// caller-allocated arrays.  k <= 15 (30-bit codes); code >= 4 (N)
+// invalidates every window containing it.  The numpy one-pass build cost
+// ~375 s / 11.5 GB at 168M postings on this box; this runs in ~20 s.
+int64_t kmer_index_build(const int8_t* codes, int64_t n_codes,
+                         const int64_t* starts, const int64_t* lens,
+                         int64_t n_blocks, int32_t k,
+                         int32_t* kmers, int32_t* blks, int32_t* offs) {
+  if (k < 1 || k > 15 || n_codes < 0) return -1;
+  const int64_t mask = (int64_t(1) << (2 * k)) - 1;
+  unsigned hw = g_max_threads > 0 ? static_cast<unsigned>(g_max_threads)
+                                  : allowed_cpus();
+  int64_t nt = std::max<int64_t>(1, std::min<int64_t>(hw, n_blocks));
+  auto count_range = [&](int64_t b0, int64_t b1) -> int64_t {
+    int64_t total = 0;
+    for (int64_t b = b0; b < b1; b++) {
+      const int8_t* s = codes + starts[b];
+      const int64_t L = lens[b];
+      int64_t bad = -1;  // last index with code >= 4
+      for (int64_t i = 0; i < L; i++) {
+        if (s[i] >= 4) bad = i;
+        if (i >= k - 1 && bad <= i - k) total++;
+      }
+    }
+    return total;
+  };
+  std::vector<int64_t> range_tot(static_cast<size_t>(nt), 0);
+  {
+    std::vector<std::thread> th;
+    for (int64_t w = 0; w < nt; w++) {
+      th.emplace_back([&, w] {
+        range_tot[w] = count_range(n_blocks * w / nt,
+                                   n_blocks * (w + 1) / nt);
+      });
+    }
+    for (auto& x : th) x.join();
+  }
+  if (kmers == nullptr) {
+    int64_t total = 0;
+    for (int64_t v : range_tot) total += v;
+    return total;
+  }
+  // fill pass, threaded over the same block ranges
+  std::vector<int64_t> range_base(static_cast<size_t>(nt), 0);
+  for (int64_t w = 1; w < nt; w++)
+    range_base[w] = range_base[w - 1] + range_tot[w - 1];
+  {
+    std::vector<std::thread> th;
+    for (int64_t w = 0; w < nt; w++) {
+      th.emplace_back([&, w] {
+        int64_t tt = range_base[w];
+        for (int64_t b = n_blocks * w / nt; b < n_blocks * (w + 1) / nt;
+             b++) {
+          const int8_t* s = codes + starts[b];
+          const int64_t L = lens[b];
+          int64_t bad = -1;
+          int64_t kk = 0;
+          for (int64_t i = 0; i < L; i++) {
+            const int8_t c = s[i];
+            if (c >= 4) bad = i;
+            kk = ((kk << 2) | (c & 3)) & mask;
+            if (i >= k - 1 && bad <= i - k) {
+              kmers[tt] = static_cast<int32_t>(kk);
+              blks[tt] = static_cast<int32_t>(b);
+              offs[tt] = static_cast<int32_t>(i - k + 1);
+              tt++;
+            }
+          }
+        }
+      });
+    }
+    for (auto& x : th) x.join();
+  }
+  int64_t t = range_base[nt - 1] + range_tot[nt - 1];
+  // stable LSD radix by k-mer: pack (code << 34 | posting id) into uint64
+  // and sort in two 15-bit passes; then apply the permutation
+  const int64_t T = t;
+  std::vector<uint64_t> a(static_cast<size_t>(T)), tmp(static_cast<size_t>(T));
+  for (int64_t i = 0; i < T; i++)
+    a[i] = (static_cast<uint64_t>(static_cast<uint32_t>(kmers[i])) << 34) |
+           static_cast<uint64_t>(i);
+  const int bits = 2 * k;
+  const int half = (bits + 1) / 2;
+  const int shifts[2] = {34, 34 + half};
+  const int widths[2] = {half, bits - half};
+  for (int pass = 0; pass < 2; pass++) {
+    if (widths[pass] <= 0) break;
+    const int w = widths[pass];
+    const int sh = shifts[pass];
+    const uint64_t m = (uint64_t(1) << w) - 1;
+    std::vector<int64_t> hist(static_cast<size_t>(1) << w, 0);
+    for (int64_t i = 0; i < T; i++) hist[(a[i] >> sh) & m]++;
+    int64_t run = 0;
+    for (size_t h = 0; h < hist.size(); h++) {
+      const int64_t c = hist[h];
+      hist[h] = run;
+      run += c;
+    }
+    for (int64_t i = 0; i < T; i++) tmp[hist[(a[i] >> sh) & m]++] = a[i];
+    a.swap(tmp);
+  }
+  tmp.clear();
+  tmp.shrink_to_fit();
+  // apply permutation out-of-place into scratch, then copy back
+  // (i-range threaded; the random-index gathers are the memory-bound tail)
+  const uint64_t pid_mask = (uint64_t(1) << 34) - 1;
+  std::vector<int32_t> sk(static_cast<size_t>(T));
+  for (int32_t* arr : {kmers, blks, offs}) {
+    std::vector<std::thread> th;
+    for (int64_t w = 0; w < nt; w++) {
+      th.emplace_back([&, w, arr] {
+        for (int64_t i = T * w / nt; i < T * (w + 1) / nt; i++)
+          sk[i] = arr[a[i] & pid_mask];
+      });
+    }
+    for (auto& x : th) x.join();
+    std::memcpy(arr, sk.data(), static_cast<size_t>(T) * 4);
+  }
+  return T;
+}
+
 // diagnostics: (total blocked seconds in shm waits, wait count) since the
 // last call; resets on read
 void search_wait_stats(double* wait_s, int64_t* waits) {

@@ -178,3 +178,31 @@ def test_kmer_index_vectorized_build_matches_loop():
     assert np.array_equal(index.sids, np.concatenate(sid)[order])
     assert np.array_equal(index.orients, np.concatenate(orient)[order])
     assert np.array_equal(index.offs, np.concatenate(off)[order])
+
+
+def test_native_kmer_index_matches_numpy(monkeypatch):
+    """The native rolling-scan + radix-sort index build produces exactly
+    the numpy one-pass build's postings (values AND stable order)."""
+    import numpy as np
+
+    from gfalign_tpu.engine.seeding import KmerIndex
+    from gfalign_tpu.graph.model import Graph
+    from gfalign_tpu.io import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    import random
+    rng = random.Random(5)
+    graph = Graph()
+    for i in range(40):
+        seq = "".join(rng.choice("ACGTN" if i % 7 == 0 else "ACGT")
+                      for _ in range(rng.randrange(5, 120)))
+        graph.add_segment(f"s{i}", seq)
+    nat = KmerIndex(graph, k=11)
+    monkeypatch.setattr(native, "kmer_index_build", lambda *a, **k: None)
+    ref = KmerIndex(graph, k=11)
+    np.testing.assert_array_equal(nat.kmers, ref.kmers)
+    np.testing.assert_array_equal(nat.sids, ref.sids)
+    np.testing.assert_array_equal(nat.orients, ref.orients)
+    np.testing.assert_array_equal(nat.offs, ref.offs)
