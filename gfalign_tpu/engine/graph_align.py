@@ -601,6 +601,26 @@ def align_reads(graph: Graph, reads: Sequence[Tuple[str, str]],
     return _align_with_paths(graph, reads, paths, params.min_score)
 
 
+def _align_host_engine() -> bool:
+    """Engine selection for the seeded scoring ladder.
+
+    Default: the native C++ banded ladder (seq_banded_pairs — bit-exact
+    vs the XLA/Pallas kernels, tests/test_align_banded.py).  Reason: on a
+    remote-compile TPU transport each banded kernel shape costs 200-500 s
+    to compile with no persistent executable cache (measured:
+    bench/micro_banded cold 194-460 s vs 0.44 s warm), which dominates
+    one-shot align runs end to end.  A locally attached TPU amortizes the
+    compile across runs and should opt into the device kernels with
+    GFALIGN_TPU_ALIGN_DEVICE=1 (~10-30 Gcell/s vs ~1-2 on 2 host cores)."""
+    import os
+
+    if os.environ.get("GFALIGN_TPU_ALIGN_DEVICE") == "1":
+        return False
+    from ..io import native
+
+    return native.available()
+
+
 def _align_seeded(graph: Graph, reads, params: AlignParams):
     min_score = params.min_score
     """Seeded mode scores (read, candidate-path) PAIRS, not the read x path
@@ -612,7 +632,23 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
     from .seeding import (KmerIndex, anchors_with_diag_batch,
                           paths_around_anchor)
 
-    index = KmerIndex(graph, k=params.seed_k)
+    # auto-subsample the seed index at assembly scale: postings ~= 2x
+    # total bases; cap around ~24M so the build stays O(10 s) and O(1 GB)
+    # (GFALIGN_TPU_SEED_SAMPLE overrides; 1 = keep every k-mer)
+    import os as _os
+
+    total_bases = 2 * sum(
+        (seg.length or len(seg.seq))
+        for seg in (graph.segment(s) for s in range(graph.n_segments)))
+    env_mod = _os.environ.get("GFALIGN_TPU_SEED_SAMPLE")
+    if env_mod is not None:
+        sample_mod = max(1, int(env_mod))
+    else:
+        sample_mod = max(1, -(-total_bases // 24_000_000))
+    index = KmerIndex(graph, k=params.seed_k, sample_mod=sample_mod)
+    if sample_mod > 1:
+        lg.verbose(f"seed index subsampled 1/{sample_mod} "
+                   f"({len(index.kmers)} postings)")
     lut = overlap_table(graph)
     seg_codes = _SegCodes(graph)
     path_cache: Dict[tuple, OrientedPath] = {}
@@ -663,7 +699,8 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
     all_hits: List[List[GafHit]] = [[] for _ in reads]
     accepted: List[List[Tuple[int, int]]] = [[] for _ in reads]
     active = [r for r in range(len(reads)) if cand_lists[r]]
-    pools = _DevicePools(work, graph)
+    host_engine = _align_host_engine()
+    pools = None if host_engine else _DevicePools(work, graph)
     dirty_reads: set = set()   # rows masked since the last pool sync
 
     def score_pairs_full(pairs, results=None):
@@ -710,6 +747,79 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
     BAND = params.band
     WIDE_BAND = params.wide_band
 
+    def score_pairs_host(pairs, deltas):
+        """Host (native C++) banded scoring ladder — same rungs and accept
+        logic as the device path; every result carries the band width so
+        the parity-gated banded traceback (and its exact-walk fallback)
+        keeps placements honest.  The terminal rung is the 2048-wide band
+        (as in the device path's crash-guard branch): a placement needing
+        more drift than that around its anchor diagonal is effectively
+        unplaceable by this candidate."""
+        from ..io import native
+
+        ukeys: Dict[tuple, int] = {}
+        for _, key in pairs:
+            if key not in ukeys:
+                ukeys[key] = len(ukeys)
+        parts = [code_cache[k] for k in ukeys]
+        path_blob = (np.concatenate(parts) if parts
+                     else np.zeros(1, np.int8))
+        path_len = np.fromiter(map(len, parts), np.int64, count=len(parts))
+        path_off = np.zeros(len(parts), np.int64)
+        np.cumsum(path_len[:-1], out=path_off[1:])
+        read_blob = np.concatenate(work) if work else np.zeros(1, np.int8)
+        read_len = np.fromiter(map(len, work), np.int64, count=len(work))
+        read_off = np.zeros(len(work), np.int64)
+        np.cumsum(read_len[:-1], out=read_off[1:])
+        rid = np.fromiter((r for r, _ in pairs), np.int32, count=len(pairs))
+        pidn = np.fromiter((ukeys[k] for _, k in pairs), np.int32,
+                           count=len(pairs))
+        dl = np.asarray(deltas, np.int32)
+        results: Dict[int, Tuple[int, int, int, int]] = {}
+
+        def rung(idx_list, width, keep_low=False, keep_edge=False):
+            idx = np.asarray(idx_list, np.int32)
+            got = native.seq_banded_pairs(
+                read_blob, read_off, read_len, path_blob, path_off,
+                path_len, rid[idx], pidn[idx], dl[idx], width,
+                seqalign.MATCH, seqalign.MISMATCH, seqalign.GAP,
+                seqalign.PAD, seqalign._BLOCK)
+            best, bi, bj, edge = got
+            redo_edge, redo_low = [], []
+            for slot, n in enumerate(idx_list):
+                if edge[slot] and not keep_edge:
+                    redo_edge.append(n)
+                elif best[slot] < min_score and not keep_low:
+                    redo_low.append(n)
+                else:
+                    results[n] = (int(best[slot]), int(bi[slot]),
+                                  int(bj[slot]), width)
+            return redo_edge, redo_low
+
+        # first rung sized to the read: indel drift grows ~linearly with
+        # read length (HiFi ~1% error), so a BAND/2 half-width is too
+        # narrow once reads pass ~(BAND/2)/0.02 bases — measured, ~90% of
+        # long-read pairs re-scored at WIDE_BAND anyway, doubling the
+        # ladder's work.  Long reads start at WIDE_BAND with lows kept
+        # (WIDE lows are genuinely weak); only band-edge hits escalate.
+        cut = (BAND // 2) * 50
+        short_idx = [n for n in range(len(pairs))
+                     if len(work[pairs[n][0]]) <= cut]
+        long_idx = [n for n in range(len(pairs))
+                    if len(work[pairs[n][0]]) > cut]
+        edges = []
+        if short_idx:
+            e1, l1 = rung(short_idx, BAND)
+            redo, _ = rung(e1 + l1, WIDE_BAND, keep_low=True) \
+                if e1 + l1 else ([], None)
+            edges += redo
+        if long_idx:
+            e1, _ = rung(long_idx, WIDE_BAND, keep_low=True)
+            edges += e1
+        if edges:
+            rung(edges, 4 * WIDE_BAND, keep_low=True, keep_edge=True)
+        return results
+
     def score_pairs(pairs):
         """Banded-first scoring: anchors supply the expected diagonal, so
         each pair costs O(Lr x BAND) instead of O(Lr x Lp); pairs whose
@@ -720,6 +830,8 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
         deltas = [cand_deltas.get(p) for p in pairs]
         if any(d is None for d in deltas):
             return score_pairs_full(pairs)
+        if host_engine:
+            return score_pairs_host(pairs, deltas)
 
         # flush masked reads + register every path key BEFORE the first
         # dispatch, so the path tables compile at one capacity per round
@@ -815,15 +927,26 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
                              keep_edge=True)
         return results
 
+    # sound cross-round pruning: masking accepted regions only DEGRADES
+    # cell scores (match -> blocked), so a (read, candidate) pair that
+    # scored below min_score once can never recover — drop it from later
+    # rounds (the placement loop breaks below min_score, and s2/mapq
+    # competitors also require >= min_score, so behavior is identical).
+    # Rounds 2-4 used to re-score every candidate of still-active reads.
+    dead_pairs: set = set()
+
     def placement_rounds(active: List[int]) -> None:
       for _round in range(4):
         if not active:
             break
-        pairs = [(r, key) for r in active for key in cand_lists[r]]
+        pairs = [(r, key) for r in active for key in cand_lists[r]
+                 if (r, key) not in dead_pairs]
         scored = score_pairs(pairs)
         by_read: Dict[int, List[tuple]] = defaultdict(list)
         for n, (r, key) in enumerate(pairs):
             v, bi, bj, banded = scored[n]
+            if v < min_score:
+                dead_pairs.add((r, key))
             by_read[r].append((v, bi, bj, banded, key))
         next_active = []
         for r in active:

@@ -55,10 +55,18 @@ class KmerIndex:
     dict version cost ~4 s to build a 1k-segment index and ~9 ms per read
     to vote, which dominated align mode at 10k-read scale."""
 
-    def __init__(self, graph: Graph, k: int = K):
+    def __init__(self, graph: Graph, k: int = K, sample_mod: int = 1):
+        """sample_mod > 1 keeps ~1/mod of k-mers (deterministic 32-bit
+        Fibonacci-hash threshold, identical in the native and numpy
+        builds): at assembly scale the full posting set costs minutes and
+        ~8 GB while a ~5 kb read still yields hundreds of sampled anchor
+        votes."""
         from ..graph.stats import revcomp
 
         self.k = k
+        self.sample_mod = max(1, int(sample_mod))
+        self._sample_thresh = (0 if self.sample_mod <= 1
+                               else (1 << 32) // self.sample_mod)
         # ONE _kmer_codes pass over the concatenation of every oriented
         # segment, with boundary-crossing k-mers masked off — the
         # per-segment Python loop cost 308 s (of which ~2/3 loop overhead)
@@ -82,7 +90,8 @@ class KmerIndex:
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             from ..io import native
 
-            built = native.kmer_index_build(codes, starts, lens, k)
+            built = native.kmer_index_build(codes, starts, lens, k,
+                                            self._sample_thresh)
             if built is not None:
                 # native rolling scan + stable radix sort — the numpy
                 # block below cost ~375 s / 11.5 GB peak at 168M postings
@@ -98,6 +107,9 @@ class KmerIndex:
                 pos = np.arange(len(kms), dtype=np.int64)
                 blk = np.searchsorted(starts, pos, "right") - 1
                 ok = (kms >= 0) & (pos + k <= starts[blk] + lens[blk])
+                if self._sample_thresh:
+                    h = (kms.astype(np.uint64) * 2654435761) & 0xFFFFFFFF
+                    ok &= h < self._sample_thresh
                 kms = kms[ok]
                 blk = blk[ok]
                 offs = (pos[ok] - starts[blk]).astype(np.int32)

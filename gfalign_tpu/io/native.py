@@ -157,11 +157,23 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64)]
     lib.search_free.restype = None
     lib.search_free.argtypes = [ctypes.c_char_p]
+    lib.seq_banded_pairs.restype = None
+    lib.seq_banded_pairs.argtypes = [
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8)]
     lib.kmer_index_build.restype = ctypes.c_int64
     lib.kmer_index_build.argtypes = [
         ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_uint32,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32)]
     lib.nw_evaluate_frontier.restype = None
@@ -544,8 +556,51 @@ def native_search(adj_off, adj_nid, adj_or0, adj_or1, n_segments, budget,
     return text
 
 
+def seq_banded_pairs(reads_blob: np.ndarray, read_off: np.ndarray,
+                     read_len: np.ndarray, paths_blob: np.ndarray,
+                     path_off: np.ndarray, path_len: np.ndarray,
+                     rid: np.ndarray, pid: np.ndarray, deltas: np.ndarray,
+                     width: int, match: int, mismatch: int, gap: int,
+                     pad_code: int, block: int):
+    """(best, bi, bj, edge) banded local scores for pairs
+    (rid[n], pid[n]) at band `width` around deltas[n] — bit-exact vs
+    ops/seqalign._banded_forward; or None without the native library."""
+    lib = _load()
+    if lib is None:
+        return None
+    rb = np.ascontiguousarray(reads_blob, np.int8)
+    pb = np.ascontiguousarray(paths_blob, np.int8)
+    ro = np.ascontiguousarray(read_off, np.int64)
+    rl = np.ascontiguousarray(read_len, np.int64)
+    po = np.ascontiguousarray(path_off, np.int64)
+    pl = np.ascontiguousarray(path_len, np.int64)
+    ri = np.ascontiguousarray(rid, np.int32)
+    pi = np.ascontiguousarray(pid, np.int32)
+    dl = np.ascontiguousarray(deltas, np.int32)
+    n = len(ri)
+    best = np.empty(n, np.int32)
+    bi = np.empty(n, np.int32)
+    bj = np.empty(n, np.int32)
+    edge = np.empty(n, np.uint8)
+    i8 = ctypes.POINTER(ctypes.c_int8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    lib.seq_banded_pairs(
+        rb.ctypes.data_as(i8), ro.ctypes.data_as(i64),
+        rl.ctypes.data_as(i64),
+        pb.ctypes.data_as(i8), po.ctypes.data_as(i64),
+        pl.ctypes.data_as(i64),
+        ri.ctypes.data_as(i32), pi.ctypes.data_as(i32),
+        dl.ctypes.data_as(i32), n, width, match, mismatch, gap,
+        pad_code, block,
+        best.ctypes.data_as(i32), bi.ctypes.data_as(i32),
+        bj.ctypes.data_as(i32),
+        edge.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return best, bi, bj, edge.astype(bool)
+
+
 def kmer_index_build(codes: np.ndarray, starts: np.ndarray,
-                     lens: np.ndarray, k: int):
+                     lens: np.ndarray, k: int, sample_thresh: int = 0):
     """(kmers, blks, offs) int32 postings sorted stably by k-mer code, or
     None (no library / k > 15).  codes: concatenated int8 base codes;
     starts/lens delimit the oriented-segment blocks."""
@@ -561,7 +616,8 @@ def kmer_index_build(codes: np.ndarray, starts: np.ndarray,
     n_blocks = len(st)
     total = lib.kmer_index_build(
         cd.ctypes.data_as(i8), len(cd), st.ctypes.data_as(i64),
-        ln.ctypes.data_as(i64), n_blocks, k, None, None, None)
+        ln.ctypes.data_as(i64), n_blocks, k, sample_thresh,
+        None, None, None)
     if total < 0:
         return None
     kmers = np.empty(total, np.int32)
@@ -569,7 +625,7 @@ def kmer_index_build(codes: np.ndarray, starts: np.ndarray,
     offs = np.empty(total, np.int32)
     got = lib.kmer_index_build(
         cd.ctypes.data_as(i8), len(cd), st.ctypes.data_as(i64),
-        ln.ctypes.data_as(i64), n_blocks, k,
+        ln.ctypes.data_as(i64), n_blocks, k, sample_thresh,
         kmers.ctypes.data_as(i32), blks.ctypes.data_as(i32),
         offs.ctypes.data_as(i32))
     if got != total:

@@ -1661,6 +1661,133 @@ int32_t search_native(
 
 void search_free(char* p) { std::free(p); }
 
+// Banded local (read, path) scoring batch — the HOST engine for align
+// mode's scoring ladder.  Bit-exact with ops/seqalign._banded_forward
+// (XLA) / the Pallas kernel: same strip indexing, 0-floored local cells,
+// max-plus horizontal chain, first-argmax tie-break, strictly-improving
+// (best, bi, bj) tracking and end-cell band-edge flag.  Exists because a
+// remote-compile TPU transport pays 200-500 s per kernel shape with no
+// persistent cache; on locally attached devices the Pallas kernel at
+// ~10-30 Gcell/s is the production path (GFALIGN_TPU_ALIGN_DEVICE=1).
+void seq_banded_pairs(const int8_t* reads, const int64_t* read_off,
+                      const int64_t* read_len, const int8_t* paths,
+                      const int64_t* path_off, const int64_t* path_len,
+                      const int32_t* rid, const int32_t* pid,
+                      const int32_t* deltas, int64_t n_pairs, int32_t width,
+                      int32_t match, int32_t mismatch, int32_t gap,
+                      int32_t pad_code, int32_t block,
+                      int32_t* out_best, int32_t* out_bi, int32_t* out_bj,
+                      uint8_t* out_edge) {
+  const int32_t W2 = width / 2;
+  auto run = [&](int64_t p0, int64_t p1) {
+    std::vector<int32_t> H(static_cast<size_t>(width));
+    std::vector<int32_t> C(static_cast<size_t>(width));
+    for (int64_t n = p0; n < p1; n++) {
+      const int8_t* rd = reads + read_off[rid[n]];
+      const int64_t lr = read_len[rid[n]];
+      const int8_t* pa = paths + path_off[pid[n]];
+      const int64_t lp = path_len[pid[n]];
+      const int32_t delta = deltas[n];
+      std::fill(H.begin(), H.end(), 0);
+      int32_t best = 0, bi = 0, bj = 0, bu = 0;
+      for (int64_t i = 1; i <= lr; i++) {
+        const int32_t r = rd[i - 1];
+        const int64_t j0 = i + delta - W2;  // j at lane 0
+        const bool all_in = (j0 >= 1) && (j0 + width - 1 <= lp);
+        if (all_in && r < 4) {
+          // interior fast path: no boundary/pad-read branches, so the
+          // c loop auto-vectorizes; the serial max-plus chain is fused
+          // with the argmax scan
+          const int8_t* w0 = pa + (j0 - 1);
+          for (int32_t u = 0; u < width; u++) {
+            const int32_t win = w0[u];
+            const int32_t s = (win == pad_code)
+                                  ? block
+                                  : ((win < 4 && r == win) ? match
+                                                           : mismatch);
+            const int32_t up =
+                ((u + 1 < width) ? H[u + 1] : block) + gap;
+            int32_t c = H[u] + s;
+            if (up > c) c = up;
+            if (c < 0) c = 0;
+            C[u] = c;
+          }
+          int32_t chain = block;
+          int32_t row_best = -1, row_u = 0;
+          for (int32_t u = 0; u < width; u++) {
+            chain = std::max(chain + gap, C[u]);
+            H[u] = chain;
+            if (chain > row_best) {
+              row_best = chain;
+              row_u = u;
+            }
+          }
+          if (row_best > best) {
+            best = row_best;
+            bi = static_cast<int32_t>(i);
+            bj = static_cast<int32_t>(j0 + row_u);
+            bu = row_u;
+          }
+          continue;
+        }
+        // c[u] = max(0, diag, up), zeroed outside the path
+        for (int32_t u = 0; u < width; u++) {
+          const int64_t j = j0 + u;
+          const int32_t win =
+              (j >= 1 && j <= lp) ? pa[j - 1] : pad_code;
+          const int32_t s =
+              (r == pad_code || win == pad_code)
+                  ? block
+                  : ((r < 4 && win < 4 && r == win) ? match : mismatch);
+          const int32_t up =
+              ((u + 1 < width) ? H[u + 1] : block) + gap;
+          int32_t c = H[u] + s;
+          if (up > c) c = up;
+          if (c < 0) c = 0;
+          if (j < 1 || j > lp) c = 0;
+          C[u] = c;
+        }
+        // horizontal max-plus chain + row best (first argmax)
+        int32_t chain = block;
+        int32_t row_best = -1, row_u = 0;
+        for (int32_t u = 0; u < width; u++) {
+          const int64_t j = j0 + u;
+          chain = std::max(chain + gap, C[u]);
+          const int32_t h = (j >= 1 && j <= lp) ? chain : 0;
+          H[u] = h;
+          if (h > row_best) {
+            row_best = h;
+            row_u = u;
+          }
+        }
+        if (row_best > best) {
+          best = row_best;
+          bi = static_cast<int32_t>(i);
+          bj = static_cast<int32_t>(j0 + row_u);
+          bu = row_u;
+        }
+      }
+      const bool ok = best > 0;
+      out_best[n] = ok ? best : 0;
+      out_bi[n] = ok ? bi : 0;
+      out_bj[n] = ok ? bj : 0;
+      out_edge[n] = (ok && (bu <= 0 || bu >= width - 1)) ? 1 : 0;
+    }
+  };
+  unsigned hw = g_max_threads > 0 ? static_cast<unsigned>(g_max_threads)
+                                  : allowed_cpus();
+  int64_t nt = std::max<int64_t>(
+      1, std::min<int64_t>(static_cast<int64_t>(hw), n_pairs));
+  if (nt <= 1) {
+    run(0, n_pairs);
+    return;
+  }
+  std::vector<std::thread> th;
+  for (int64_t w = 0; w < nt; w++)
+    th.emplace_back(run, n_pairs * w / nt, n_pairs * (w + 1) / nt);
+  for (auto& x : th) x.join();
+}
+
 // k-mer postings index build: rolling-hash scan over the concatenated
 // oriented-segment code blocks, then a STABLE two-pass LSD radix sort by
 // k-mer code (stability preserves the per-block ascending-offset posting
@@ -1669,12 +1796,20 @@ void search_free(char* p) { std::free(p); }
 // caller-allocated arrays.  k <= 15 (30-bit codes); code >= 4 (N)
 // invalidates every window containing it.  The numpy one-pass build cost
 // ~375 s / 11.5 GB at 168M postings on this box; this runs in ~20 s.
+// sample_thresh > 0 keeps only k-mers whose 32-bit Fibonacci hash falls
+// below the threshold (deterministic ~thresh/2^32 subsampling; 0 = all).
 int64_t kmer_index_build(const int8_t* codes, int64_t n_codes,
                          const int64_t* starts, const int64_t* lens,
-                         int64_t n_blocks, int32_t k,
+                         int64_t n_blocks, int32_t k, uint32_t sample_thresh,
                          int32_t* kmers, int32_t* blks, int32_t* offs) {
   if (k < 1 || k > 15 || n_codes < 0) return -1;
   const int64_t mask = (int64_t(1) << (2 * k)) - 1;
+  const uint32_t mult = 2654435761u;  // Knuth/Fibonacci mix
+  auto keep = [&](int64_t kk) {
+    return sample_thresh == 0 ||
+           static_cast<uint32_t>(static_cast<uint32_t>(kk) * mult) <
+               sample_thresh;
+  };
   unsigned hw = g_max_threads > 0 ? static_cast<unsigned>(g_max_threads)
                                   : allowed_cpus();
   int64_t nt = std::max<int64_t>(1, std::min<int64_t>(hw, n_blocks));
@@ -1684,9 +1819,12 @@ int64_t kmer_index_build(const int8_t* codes, int64_t n_codes,
       const int8_t* s = codes + starts[b];
       const int64_t L = lens[b];
       int64_t bad = -1;  // last index with code >= 4
+      int64_t kk = 0;
       for (int64_t i = 0; i < L; i++) {
-        if (s[i] >= 4) bad = i;
-        if (i >= k - 1 && bad <= i - k) total++;
+        const int8_t c = s[i];
+        if (c >= 4) bad = i;
+        kk = ((kk << 2) | (c & 3)) & mask;
+        if (i >= k - 1 && bad <= i - k && keep(kk)) total++;
       }
     }
     return total;
@@ -1726,7 +1864,7 @@ int64_t kmer_index_build(const int8_t* codes, int64_t n_codes,
             const int8_t c = s[i];
             if (c >= 4) bad = i;
             kk = ((kk << 2) | (c & 3)) & mask;
-            if (i >= k - 1 && bad <= i - k) {
+            if (i >= k - 1 && bad <= i - k && keep(kk)) {
               kmers[tt] = static_cast<int32_t>(kk);
               blks[tt] = static_cast<int32_t>(b);
               offs[tt] = static_cast<int32_t>(i - k + 1);

@@ -3,6 +3,7 @@ optimal alignment stays in-band, and edge/low-score detection for the
 out-of-band fallback."""
 
 import numpy as np
+import pytest
 
 from gfalign_tpu.ops import seqalign
 from gfalign_tpu.ops.seqalign import (PAD, _jitted_forward_pairs,
@@ -337,3 +338,37 @@ def test_assemble_strip_rolled_matches_unrolled(monkeypatch):
     monkeypatch.setattr(seqalign, "_STRIP_UNROLL_S", 1)
     rolled = np.asarray(seqalign.assemble_strip(*args))
     np.testing.assert_array_equal(rolled, unrolled)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_native_banded_pairs_matches_xla(seed):
+    """The native host banded scorer is bit-exact vs the XLA
+    _banded_forward at random shapes, deltas, and mid-read PAD masks."""
+    from gfalign_tpu.io import native
+    from gfalign_tpu.ops import seqalign
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(400 + seed)
+    N, W = 24, 16
+    lr = int(rng.integers(8, 60))
+    lp = int(rng.integers(8, 90))
+    reads = rng.integers(0, 5, (N, lr)).astype(np.int8)
+    # mid-read PAD masking (placement rounds mask accepted regions)
+    for i in range(0, N, 3):
+        a = int(rng.integers(0, lr))
+        b = int(rng.integers(a, lr))
+        reads[i, a:b] = seqalign.PAD
+    paths = rng.integers(0, 5, (N, lp)).astype(np.int8)
+    deltas = rng.integers(-20, 20, N).astype(np.int32)
+    want = seqalign.banded_pair_scores(reads, paths, deltas, width=W)
+    ro = np.arange(N, dtype=np.int64) * lr
+    po = np.arange(N, dtype=np.int64) * lp
+    got = native.seq_banded_pairs(
+        reads.reshape(-1), ro, np.full(N, lr, np.int64),
+        paths.reshape(-1), po, np.full(N, lp, np.int64),
+        np.arange(N, dtype=np.int32), np.arange(N, dtype=np.int32), deltas,
+        W, seqalign.MATCH, seqalign.MISMATCH, seqalign.GAP,
+        seqalign.PAD, seqalign._BLOCK)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
