@@ -97,11 +97,22 @@ report_stats(graph, buf)
 fin()
 
 # ---- k-mer index build -----------------------------------------------------
+# production index = what align builds (auto-subsampled at this scale);
+# the full unsampled build is also timed as the exhaustive-index proof
 fin = stage("kmer_index")
 from gfalign_tpu.engine.seeding import KmerIndex  # noqa: E402
 
+total_bases = 2 * sum(len(s) for _, s in wl.segments) \
+    if hasattr(wl, "segments") else 0
+sample_mod = max(1, -(-os.path.getsize(paths["gfa"]) // 24_000_000))
+index = KmerIndex(graph, sample_mod=sample_mod)
+fin(kmer_postings=int(len(index.kmers)), kmer_unique=int(len(index.uniq)),
+    kmer_sample_mod=sample_mod)
+del index
+
+fin = stage("kmer_index_full")
 index = KmerIndex(graph)
-fin(kmer_postings=int(len(index.kmers)), kmer_unique=int(len(index.uniq)))
+fin(kmer_full_postings=int(len(index.kmers)))
 del index
 
 # ---- align subset ----------------------------------------------------------
