@@ -814,7 +814,19 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
                 if e1 + l1 else ([], None)
             edges += redo
         if long_idx:
-            e1, _ = rung(long_idx, WIDE_BAND, keep_low=True)
+            # long reads rung at WIDE_BAND/2 with lows TERMINAL there:
+            # anchor-voted deltas center the band on the true diagonal, so
+            # within-half-band drift covers reads to ~(mid/2)/err bases,
+            # and measured ~93% of pairs are wrong-locus junk that scores
+            # ~0 at every width — re-scoring them wider doubled align
+            # time for zero placements.  Band-EDGE hits (the signal that
+            # a real alignment continues outside) still escalate; noisy
+            # presets (CLR) set band/wide_band high enough that mid ==
+            # WIDE_BAND and keep their full-width first rung.
+            mid = max(BAND, -(-(WIDE_BAND // 2) // 8) * 8)
+            e1, _ = rung(long_idx, mid, keep_low=True)
+            if e1 and mid < WIDE_BAND:
+                e1, _ = rung(e1, WIDE_BAND, keep_low=True)
             edges += e1
         if edges:
             rung(edges, 4 * WIDE_BAND, keep_low=True, keep_edge=True)

@@ -118,9 +118,16 @@ def _try_native_search(graph: Graph, table: NodeTable, source: str,
     native.  TPU backends keep the Python driver + device kernels."""
     import numpy as np
 
+    from ..io import native as _native
     from .evaluate import _native_scoring_ok
 
-    if not _native_scoring_ok():
+    # Device scoring pays ~2 transport roundtrips per frontier; that only
+    # amortizes when the read batch is large.  Post-filter tangle sets
+    # (the search mode's defining workload) are small, so those run the
+    # native driver even on device backends; big read sets keep the
+    # device kernels (and the Python driver).
+    if not _native_scoring_ok() and not (
+            _native.available() and read_batch.R <= 4096):
         return False
     n = graph.n_segments
     if n == 0:

