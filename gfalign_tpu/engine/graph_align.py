@@ -1175,8 +1175,14 @@ def run_graph_aligner(graph: Graph, read_files, out_file: str,
     if echo:
         # analogue of the reference's `Invoking: <GraphAligner cmd>` echo
         # (src/main.cpp:167-168): print the fully resolved in-house
-        # invocation so runs are reproducible from the log
-        (out or sys.stdout).write(
+        # invocation so runs are reproducible from the log.  When the GAF
+        # itself streams to stdout (no -o / stdout-extension dispatch),
+        # the echo moves to stderr so the record stream stays pure.
+        from ..io.stream import STDOUT_EXTS
+
+        to_stdout = (not out_file) or out_file in STDOUT_EXTS
+        echo_out = sys.stderr if to_stdout else (out or sys.stdout)
+        echo_out.write(
             f"Invoking: gfalign-tpu-align -p {preset}"
             f" --seed-k {params.seed_k} --min-score {params.min_score}"
             f" --max-anchors {params.max_anchors}"
