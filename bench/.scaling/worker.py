@@ -42,7 +42,7 @@ if nproc > 1:
                                            False)
 t0 = time.perf_counter()
 search(graph, aln, 'bench/.scaling/search_nodelist.tsv', '497', '504',
-       max_steps=50000, out=out, evaluate_fn=evaluate_fn)
+       max_steps=20000, out=out, evaluate_fn=evaluate_fn)
 dt = time.perf_counter() - t0
 import hashlib
 print("RESULT", dt)

@@ -21,20 +21,26 @@ frontier_shard = nproc > 1 and n_rec <= FRONTIER_SHARD_MAX_READS
 shard = (pid, nproc) if nproc > 1 and not frontier_shard else None
 aln.load('bench/.scaling_deep/tangle.gaf', shard=shard, shard_by="qname")
 out = io.StringIO()
+# evaluate_fn=None lets the engine pick its fast path (native driver on
+# CPU); distributed runs pass the sharding evaluator, whose calls the
+# native driver absorbs when the shm exchange is up (eval_s then stays 0
+# and the total is the meaningful number)
+eval_s = [0.0]
+evaluate_fn = None
 if nproc > 1:
     from gfalign_tpu.engine.evaluate import (distributed_evaluator,
                                              frontier_sharded_evaluator)
     base_fn = (frontier_sharded_evaluator() if frontier_shard
                else distributed_evaluator())
-else:
-    from gfalign_tpu.engine.evaluate import evaluate_candidates as base_fn
-eval_s = [0.0]
-def evaluate_fn(*a, **kw):
-    t = time.perf_counter()
-    try:
-        return base_fn(*a, **kw)
-    finally:
-        eval_s[0] += time.perf_counter() - t
+    def evaluate_fn(*a, **kw):
+        t = time.perf_counter()
+        try:
+            return base_fn(*a, **kw)
+        finally:
+            eval_s[0] += time.perf_counter() - t
+    evaluate_fn.frontier_sharded = getattr(base_fn, "frontier_sharded",
+                                           False)
+    evaluate_fn.read_sharded = getattr(base_fn, "read_sharded", False)
 t0 = time.perf_counter()
 search(graph, aln, 'bench/.scaling_deep/search_nodelist.tsv', '497', '504',
        max_steps=1000, out=out, evaluate_fn=evaluate_fn)

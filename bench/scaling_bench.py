@@ -72,6 +72,7 @@ if nproc > 1:
             eval_s[0] += time.perf_counter() - t
     evaluate_fn.frontier_sharded = getattr(base_fn, "frontier_sharded",
                                            False)
+    evaluate_fn.read_sharded = getattr(base_fn, "read_sharded", False)
 t0 = time.perf_counter()
 search(graph, aln, {nodelist!r}, {source!r}, {dest!r},
        max_steps={max_steps}, out=out, evaluate_fn=evaluate_fn)

@@ -362,6 +362,9 @@ def distributed_evaluator(base=evaluate_candidates):
         return [PathScore(merged[3 * i], merged[3 * i + 1], merged[3 * i + 2])
                 for i in range(len(local))]
 
+    # marker consumed by engine/search._try_native_search: a read-sharded
+    # evaluation maps to the native driver's ring-sum mode
+    evaluate.read_sharded = True
     return evaluate
 
 

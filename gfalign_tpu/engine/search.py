@@ -133,9 +133,13 @@ def _try_native_search(graph: Graph, table: NodeTable, source: str,
     if n == 0:
         return False
     pid, nproc, ring = 0, 1, None
+    sum_mode = False
     if evaluate_fn is not None:
-        if not getattr(evaluate_fn, "frontier_sharded", False):
+        frontier = getattr(evaluate_fn, "frontier_sharded", False)
+        read_sharded = getattr(evaluate_fn, "read_sharded", False)
+        if not (frontier or read_sharded):
             return False
+        sum_mode = read_sharded
         from ..parallel import dist
 
         pid, nproc = dist.process_info()
@@ -196,7 +200,8 @@ def _try_native_search(graph: Graph, table: NodeTable, source: str,
         pid=pid, nproc=nproc,
         ring_buf=(ring.address if ring else None),
         ring_width=(ring.WIDTH if ring else 0),
-        ring_slots=(ring.SLOTS if ring else 0))
+        ring_slots=(ring.SLOTS if ring else 0),
+        ring_sum_mode=sum_mode)
     if got is None:
         return False
     out.write(got.decode())

@@ -153,7 +153,7 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_int32, ctypes.c_int32,
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
-        ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64)]
     lib.search_free.restype = None
     lib.search_free.argtypes = [ctypes.c_char_p]
@@ -513,7 +513,8 @@ def native_search(adj_off, adj_nid, adj_or0, adj_or1, n_segments, budget,
                   b_keys, b_len, max_steps, min_nodes, return_all,
                   spec_depth, speculate, name_blob: bytes, name_off,
                   pid: int = 0, nproc: int = 1, ring_buf=None,
-                  ring_width: int = 0, ring_slots: int = 0):
+                  ring_width: int = 0, ring_slots: int = 0,
+                  ring_sum_mode: bool = False):
     """Run the native tangle-search driver; returns the output bytes, or
     None without the native library.  Arrays follow engine/search.py's
     encodings (orientation codes 0/1/2; read keys id*4+orient).  For
@@ -547,7 +548,7 @@ def native_search(adj_off, adj_nid, adj_or0, adj_or1, n_segments, budget,
         name_blob, koff.ctypes.data_as(i64),
         int(pid), int(nproc),
         ctypes.c_void_p(ring_buf if ring_buf else None), int(ring_width),
-        int(ring_slots),
+        int(ring_slots), 1 if ring_sum_mode else 0,
         ctypes.byref(out_text), ctypes.byref(out_len))
     if rc != 0:
         return None

@@ -1193,6 +1193,10 @@ struct Driver {
   // distributed
   RingX* ring = nullptr;
   int pid = 0, nproc = 1;
+  bool sum_mode = false;  // read-sharded: every process scores every
+  // candidate against its LOCAL read shard; tallies SUM across processes
+  // (blocking per batch — eval dominates at the read counts that pick
+  // this mode).  false = frontier-sharded (owner-only values, pipelined).
 
   // path trie
   std::vector<PathNode> nodes;
@@ -1497,6 +1501,41 @@ struct Driver {
           sc_have[p] = 1;
           in_batch[p] = 0;
         }
+      } else if (!to_score.empty() && sum_mode) {
+        // read-sharded: score everything locally, blocking ring-sum of
+        // the whole batch's tallies (chunked to the slot width)
+        size_t C = to_score.size();
+        const size_t max_c = static_cast<size_t>(ring->width / 3);
+        if (C > max_c) {
+          for (size_t i = max_c; i < C; i++) in_batch[to_score[i]] = 0;
+          C = max_c;  // overflow re-enters a later batch
+        }
+        tallies.assign(3 * C, 0);
+        for (size_t i = 0; i < C; i++) {
+          const int64_t p = to_score[i];
+          eval_one(p, &tallies[3 * i], &tallies[3 * i + 1],
+                   &tallies[3 * i + 2]);
+        }
+        const int64_t k = ring->pub;
+        ring->publish(tallies.data(), static_cast<int64_t>(3 * C));
+        for (int peer = 0; peer < nproc; peer++) {
+          if (peer == pid) continue;
+          int64_t* s = ring->slot(peer, k);
+          shm_wait_ge(&s[0], k + 1);
+          for (size_t i = 0; i < 3 * C; i++) tallies[i] += s[2 + i];
+        }
+        ring->mark_drained();  // sum batches drain themselves in order
+        pending_batches.push_back(std::vector<int64_t>());
+        pending_head++;
+        for (size_t i = 0; i < C; i++) {
+          const int64_t p = to_score[i];
+          ensure_pid(p);
+          sc_bad[p] = tallies[3 * i];
+          sc_good[p] = tallies[3 * i + 1];
+          sc_unal[p] = tallies[3 * i + 2];
+          sc_have[p] = 1;
+          in_batch[p] = 0;
+        }
       } else if (!to_score.empty()) {
         // cap the speculative region so every process's 3-per-candidate
         // share fits one ring slot (dropped tails just score later)
@@ -1606,7 +1645,8 @@ int32_t search_native(
     int32_t min_nodes, int32_t return_all, int32_t spec_depth,
     int32_t speculate, const char* name_blob, const int64_t* name_off,
     int32_t pid, int32_t nproc, int64_t* ring_base, int64_t ring_width,
-    int64_t ring_slots, char** out_text, int64_t* out_len) {
+    int64_t ring_slots, int32_t ring_sum_mode, char** out_text,
+    int64_t* out_len) {
   if (n_segments <= 0 || source_uid < 0 || source_uid >= n_segments ||
       dest_uid < 0 || dest_uid >= n_segments)
     return -1;
@@ -1648,6 +1688,7 @@ int32_t search_native(
     d.ring = &ring;
     d.pid = pid;
     d.nproc = nproc;
+    d.sum_mode = ring_sum_mode != 0;
   }
   d.run(source_uid);
   char* buf = static_cast<char*>(std::malloc(d.out.size() + 1));
