@@ -345,3 +345,68 @@ print("COUNTS", a.primary, a.secondary, a.supplementary, a.terminal_supplementar
         errs.append(([p.returncode for p in procs], outs, expected,
                      [r[1][-500:] for r in results]))
     raise AssertionError(f"terminal pair printing failed 5 attempts: {errs}")
+
+
+@fixtures
+def test_real_two_process_search_read_sharded(tmp_path):
+    """Read-sharded distributed search through the native driver's
+    ring-sum mode: two processes with disjoint read shards produce output
+    byte-identical to the single-process run."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    worker = tmp_path / "worker.py"
+    worker.write_text(f"""
+import sys, io
+sys.path.insert(0, {str(repo)!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+from gfalign_tpu.engine.alignments import AlignmentSet
+from gfalign_tpu.engine.evaluate import distributed_evaluator
+from gfalign_tpu.engine.search import search
+from gfalign_tpu.io.gfa import read_gfa
+tf = {str(REFERENCE / 'testFiles')!r}
+graph = read_gfa(tf + "/random3.gfa")
+aln = AlignmentSet()
+aln.load(tf + "/random3.gaf", shard=(pid, nproc), shard_by="qname")
+buf = io.StringIO()
+search(graph, aln, tf + "/random3.search_nodelist.tsv", "1", "4",
+       out=buf, evaluate_fn=distributed_evaluator())
+if pid == 0:
+    print(buf.getvalue(), end="")
+""")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    for attempt in range(5):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        procs = [subprocess.Popen(
+            [_sys.executable, str(worker), str(i), "2", port],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env) for i in range(2)]
+        outs = [p.communicate(timeout=180) for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+    assert all(p.returncode == 0 for p in procs), [o[1][-500:] for o in outs]
+
+    import io as _io
+
+    from gfalign_tpu.engine.alignments import AlignmentSet
+    from gfalign_tpu.engine.search import search
+    from gfalign_tpu.io.gfa import read_gfa
+
+    graph = read_gfa(str(REFERENCE / "testFiles" / "random3.gfa"))
+    aln = AlignmentSet()
+    aln.load(str(REFERENCE / "testFiles" / "random3.gaf"))
+    want = _io.StringIO()
+    search(graph, aln, str(REFERENCE / "testFiles" /
+                           "random3.search_nodelist.tsv"), "1", "4",
+           out=want)
+    assert outs[0][0] == want.getvalue()
