@@ -256,14 +256,24 @@ def evaluate_path_printing(candidate: Sequence[Step],
     R = len(rps)
     if R == 0:
         return result
-    # one (1, 2R) device dispatch scores every read in both orientations
     rows = rps + rcps
     m_max = pad_pow2(max(len(r) for r in rows))
-    ak, al = encode_path_batch([cand], pad_pow2(len(cand)), pad_key=-1)
-    pad_rows = (-len(rows)) % 128
-    bk, bl = encode_path_batch(rows + [[] for _ in range(pad_rows)],
-                               m_max, pad_key=-2)
-    scores = np.asarray(_jitted_fw_scores()(ak, al, bk, bl))[0]
+    if _native_scoring_ok() or (native.available() and R <= 4096):
+        # evalPath read sets are post-filter (small): the native forward
+        # scorer beats paying a device compile for a one-shot (1, 2R)
+        # dispatch (measured 650 s cold through the remote transport)
+        ak, al = encode_path_batch([cand], max(len(cand), 1), pad_key=-1)
+        bk, bl = encode_path_batch(rows, m_max, pad_key=-2)
+        scores = native.nw_best_scores_batch(ak, al, bk, bl,
+                                             with_rc=False)[0]
+    else:
+        # one (1, 2R) device dispatch scores every read in both
+        # orientations
+        ak, al = encode_path_batch([cand], pad_pow2(len(cand)), pad_key=-1)
+        pad_rows = (-len(rows)) % 128
+        bk, bl = encode_path_batch(rows + [[] for _ in range(pad_rows)],
+                                   m_max, pad_key=-2)
+        scores = np.asarray(_jitted_fw_scores()(ak, al, bk, bl))[0]
     fw_s, rc_s = scores[:R], scores[R:2 * R]
 
     native_ok = native.available()

@@ -137,7 +137,7 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32)]
     lib.search_native.restype = ctypes.c_int32
     lib.search_native.argtypes = [
@@ -482,7 +482,7 @@ def nw_path_walk(a_keys: np.ndarray, b_keys: np.ndarray,
 def nw_best_scores_batch(a_keys: np.ndarray, a_len: np.ndarray,
                          b_keys: np.ndarray, b_len: np.ndarray,
                          match: int = 0, mismatch: int = -1,
-                         gap: int = -1):
+                         gap: int = -1, with_rc: bool = True):
     """(C, R) best-of-{fw, rc} walk-recomputed path-space NW scores on the
     host (CPU fast path for the search engine's frontier scoring — exact
     vs nw_align_oracle / the device kernels; see tests/test_nw.py), or
@@ -504,7 +504,8 @@ def nw_best_scores_batch(a_keys: np.ndarray, a_len: np.ndarray,
         C, ak.shape[1] if ak.ndim == 2 else 0,
         bk.ctypes.data_as(i32p), bl.ctypes.data_as(i32p),
         R, bk.shape[1] if bk.ndim == 2 else 0,
-        match, mismatch, gap, out.ctypes.data_as(i32p))
+        match, mismatch, gap, 1 if with_rc else 0,
+        out.ctypes.data_as(i32p))
     return out
 
 

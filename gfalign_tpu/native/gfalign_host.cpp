@@ -916,7 +916,7 @@ void nw_best_scores_batch(const int32_t* a_keys, const int32_t* a_len,
                           const int32_t* b_keys, const int32_t* b_len,
                           int64_t R, int64_t m_stride,
                           int32_t match, int32_t mismatch, int32_t gap,
-                          int32_t* out) {
+                          int32_t with_rc, int32_t* out) {
   std::vector<int32_t> rc(static_cast<size_t>(R) * m_stride, 0);
   int64_t cells_per_cand = 0;
   for (int64_t r = 0; r < R; r++) {
@@ -939,6 +939,10 @@ void nw_best_scores_batch(const int32_t* a_keys, const int32_t* a_len,
         const int64_t m = b_len[r];
         const int32_t fw = nw_walk_score(a, n, b_keys + r * m_stride, m,
                                          match, mismatch, gap, scratch);
+        if (!with_rc) {
+          orow[r] = fw;
+          continue;
+        }
         const int32_t rv = nw_walk_score(a, n, rc.data() + r * m_stride, m,
                                          match, mismatch, gap, scratch);
         orow[r] = fw > rv ? fw : rv;
