@@ -40,9 +40,10 @@ if nproc > 1:
             eval_s[0] += time.perf_counter() - t
     evaluate_fn.frontier_sharded = getattr(base_fn, "frontier_sharded",
                                            False)
+    evaluate_fn.read_sharded = getattr(base_fn, "read_sharded", False)
 t0 = time.perf_counter()
 search(graph, aln, 'bench/.scaling/search_nodelist.tsv', '497', '504',
-       max_steps=20000, out=out, evaluate_fn=evaluate_fn)
+       max_steps=2000, out=out, evaluate_fn=evaluate_fn)
 dt = time.perf_counter() - t0
 import hashlib
 print("RESULT", dt)
