@@ -66,6 +66,7 @@ _MODE_OPTS = {
                            # plus GraphAligner-compatible aliases)
                            "seed-k=", "min-score=", "band=", "wide-band=",
                            "max-anchors=", "max-paths-per-anchor=",
+                           "seed-sample=",
                            "seeds-mxm-length=", "min-alignment-score=",
                            "precise-clipping="]),
     1: ("f:g:j:o:vh", ["input-sequence=", "input-alignment=", "out-format=",
@@ -229,6 +230,10 @@ def parse_args(argv: List[str]) -> UserInput:
             ui.align_overrides["max_anchors"] = int(val)
         elif opt == "--max-paths-per-anchor":
             ui.align_overrides["max_paths_per_anchor"] = int(val)
+        elif opt == "--seed-sample":
+            # 1 = keep every index k-mer (disable the auto subsampling
+            # that engages on large graphs); N > 1 = keep 1/N
+            ui.align_overrides["seed_sample"] = int(val)
         elif opt == "--min-alignment-score":
             # GraphAligner-compatible alias (direct semantic match)
             ui.align_overrides["min_score"] = int(val)

@@ -54,6 +54,8 @@ class AlignParams:
                           width around the anchor diagonal — wider bands
                           tolerate the larger indel drift of noisy reads
                           before the full-DP safety net fires.
+      * seed_sample     : keep 1/N of index k-mers (0 = auto by graph
+                          size, 1 = keep every k-mer; --seed-sample).
 
     Values must keep band/wide_band multiples of 8 (Pallas sublane
     alignment)."""
@@ -64,6 +66,7 @@ class AlignParams:
     max_paths_per_anchor: int = 16
     band: int = 128
     wide_band: int = 512
+    seed_sample: int = 0
 
 
 # Reference preset table (src/main.cpp:178-182): hifi = GraphAligner
@@ -641,14 +644,25 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
         (seg.length or len(seg.seq))
         for seg in (graph.segment(s) for s in range(graph.n_segments)))
     env_mod = _os.environ.get("GFALIGN_TPU_SEED_SAMPLE")
+    auto_sampled = False
     if env_mod is not None:
         sample_mod = max(1, int(env_mod))
+    elif params.seed_sample:
+        sample_mod = max(1, params.seed_sample)
     else:
         sample_mod = max(1, -(-total_bases // 24_000_000))
+        auto_sampled = sample_mod > 1
     index = KmerIndex(graph, k=params.seed_k, sample_mod=sample_mod)
     if sample_mod > 1:
-        lg.verbose(f"seed index subsampled 1/{sample_mod} "
-                   f"({len(index.kmers)} postings)")
+        msg = (f"seed index subsampled 1/{sample_mod} "
+               f"({len(index.kmers)} postings)")
+        if auto_sampled:
+            # auto-engaged sampling changes anchor sets by default —
+            # always announce it (accuracy-sensitive runs disable with
+            # --seed-sample 1 or GFALIGN_TPU_SEED_SAMPLE=1)
+            lg.warn(msg + "; --seed-sample 1 keeps every k-mer")
+        else:
+            lg.verbose(msg)
     lut = overlap_table(graph)
     seg_codes = _SegCodes(graph)
     path_cache: Dict[tuple, OrientedPath] = {}

@@ -1507,38 +1507,42 @@ struct Driver {
         }
       } else if (!to_score.empty() && sum_mode) {
         // read-sharded: score everything locally, blocking ring-sum of
-        // the whole batch's tallies (chunked to the slot width)
-        size_t C = to_score.size();
+        // the whole batch's tallies, chunked to the slot width across as
+        // many ring batches as it takes (every process runs the same
+        // deterministic chunk loop, so publishes stay paired).  Never
+        // truncate: a truncated tail that included the pop's immediate
+        // expansions would leave sc_have unset and the commit below would
+        // read zero-initialized tallies — silently wrong alt values.
         const size_t max_c = static_cast<size_t>(ring->width / 3);
-        if (C > max_c) {
-          for (size_t i = max_c; i < C; i++) in_batch[to_score[i]] = 0;
-          C = max_c;  // overflow re-enters a later batch
-        }
-        tallies.assign(3 * C, 0);
-        for (size_t i = 0; i < C; i++) {
-          const int64_t p = to_score[i];
-          eval_one(p, &tallies[3 * i], &tallies[3 * i + 1],
-                   &tallies[3 * i + 2]);
-        }
-        const int64_t k = ring->pub;
-        ring->publish(tallies.data(), static_cast<int64_t>(3 * C));
-        for (int peer = 0; peer < nproc; peer++) {
-          if (peer == pid) continue;
-          int64_t* s = ring->slot(peer, k);
-          shm_wait_ge(&s[0], k + 1);
-          for (size_t i = 0; i < 3 * C; i++) tallies[i] += s[2 + i];
-        }
-        ring->mark_drained();  // sum batches drain themselves in order
-        pending_batches.push_back(std::vector<int64_t>());
-        pending_head++;
-        for (size_t i = 0; i < C; i++) {
-          const int64_t p = to_score[i];
-          ensure_pid(p);
-          sc_bad[p] = tallies[3 * i];
-          sc_good[p] = tallies[3 * i + 1];
-          sc_unal[p] = tallies[3 * i + 2];
-          sc_have[p] = 1;
-          in_batch[p] = 0;
+        const size_t C_total = to_score.size();
+        for (size_t c0 = 0; c0 < C_total; c0 += max_c) {
+          const size_t C = std::min(max_c, C_total - c0);
+          tallies.assign(3 * C, 0);
+          for (size_t i = 0; i < C; i++) {
+            const int64_t p = to_score[c0 + i];
+            eval_one(p, &tallies[3 * i], &tallies[3 * i + 1],
+                     &tallies[3 * i + 2]);
+          }
+          const int64_t k = ring->pub;
+          ring->publish(tallies.data(), static_cast<int64_t>(3 * C));
+          for (int peer = 0; peer < nproc; peer++) {
+            if (peer == pid) continue;
+            int64_t* s = ring->slot(peer, k);
+            shm_wait_ge(&s[0], k + 1);
+            for (size_t i = 0; i < 3 * C; i++) tallies[i] += s[2 + i];
+          }
+          ring->mark_drained();  // sum batches drain themselves in order
+          pending_batches.push_back(std::vector<int64_t>());
+          pending_head++;
+          for (size_t i = 0; i < C; i++) {
+            const int64_t p = to_score[c0 + i];
+            ensure_pid(p);
+            sc_bad[p] = tallies[3 * i];
+            sc_good[p] = tallies[3 * i + 1];
+            sc_unal[p] = tallies[3 * i + 2];
+            sc_have[p] = 1;
+            in_batch[p] = 0;
+          }
         }
       } else if (!to_score.empty()) {
         // cap the speculative region so every process's 3-per-candidate

@@ -117,7 +117,11 @@ class _ShmExchange:
         self._path = path
         if pid == 0:
             token = int.from_bytes(os.urandom(7), "little")
-            fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o600)
+            # O_TRUNC: a pre-existing file from a crashed run with the same
+            # coordinator tag must not leak stale seq cells (ftruncate to an
+            # unchanged size preserves contents; a stale pb[0] >= s would
+            # satisfy the wait immediately and merge dead data)
+            fd = os.open(path, os.O_CREAT | os.O_RDWR | os.O_TRUNC, 0o600)
             try:
                 os.ftruncate(fd, size + 8)
                 self._mm = mmap.mmap(fd, size + 8)
@@ -216,7 +220,9 @@ class _ShmRing:
         self._path = path
         if pid == 0:
             token = int.from_bytes(os.urandom(7), "little")
-            fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o600)
+            # O_TRUNC zero-fills: stale slot seq cells from a crashed prior
+            # run must never satisfy a wait (see _ShmExchange.__init__)
+            fd = os.open(path, os.O_CREAT | os.O_RDWR | os.O_TRUNC, 0o600)
             try:
                 os.ftruncate(fd, size)
                 self._mm = mmap.mmap(fd, size)
