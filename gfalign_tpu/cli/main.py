@@ -356,8 +356,11 @@ def _run_mode(ui, mode, graph, alignments, shard, out,
     if mode == 0:
         from ..engine.aligner import align_mode
         if ui.in_reads:
+            # distributed align: read-index-sharded across processes,
+            # rank 0 gathers and writes the input-order GAF
             align_mode(graph, ui.in_reads, ui.out_file, ui.preset,
-                       overrides=ui.align_overrides, echo=True, out=out)
+                       overrides=ui.align_overrides, echo=True, out=out,
+                       shard=shard)
             ui.out_file = ""  # -o was the aligner's GAF; don't let the
             # evalGFA fall-through below overwrite it with a decorated GFA
         # falls through to evalGFA behavior (reference

@@ -13,7 +13,8 @@ from __future__ import annotations
 
 
 def align_mode(graph, read_files, out_file: str, preset: str = "hifi",
-               overrides=None, echo: bool = False, out=None) -> None:
+               overrides=None, echo: bool = False, out=None,
+               shard=None) -> None:
     from .graph_align import run_graph_aligner
     run_graph_aligner(graph, read_files, out_file, preset,
-                      overrides=overrides, echo=echo, out=out)
+                      overrides=overrides, echo=echo, out=out, shard=shard)

@@ -1166,9 +1166,62 @@ def emit_gaf(results, write) -> None:
             ]) + "\n")
 
 
+def align_reads_distributed(graph: Graph, reads, params: AlignParams,
+                            shard) -> Optional[str]:
+    """Read-sharded multi-process align: reads are independent, so each
+    process aligns reads[pid::count] locally, serializes its per-read GAF
+    blocks, and one allgather reassembles the exact input order on rank 0
+    (returned as the full GAF text; other ranks return None and write
+    nothing).  Byte-identical to a single-process run — per-read results
+    do not depend on batch composition (tests/test_dist.py enforces this
+    with a real two-process subprocess run).
+
+    This distributes the capability the reference delegates to a
+    single-host GraphAligner subprocess (src/main.cpp:167-169) — align is
+    ~99% of full-pipeline wall time, and the reference has no multi-host
+    story for it at all."""
+    import io as _io
+    import struct
+
+    from ..io import native
+    from ..parallel.dist import allgather_bytes, local_process_count
+
+    pid, count = shard
+    if native.user_threads() == 0:
+        # divide this host's cores among its co-located processes so
+        # same-host scaling runs don't oversubscribe (explicit -j wins)
+        import os as _os
+
+        cores = len(_os.sched_getaffinity(0)) if hasattr(_os, "sched_getaffinity") \
+            else (_os.cpu_count() or 1)
+        native.set_threads(max(1, cores // local_process_count()))
+    local = [reads[i] for i in range(pid, len(reads), count)]
+    results = align_reads(graph, local, params=params)
+    blocks: List[bytes] = []
+    for res in results:
+        buf = _io.StringIO()
+        emit_gaf([res], buf.write)
+        blocks.append(buf.getvalue().encode())
+    payload = b"".join(struct.pack("<I", len(b)) + b for b in blocks)
+    gathered = allgather_bytes(payload)
+    if pid != 0:
+        return None
+    per_rank: List[List[bytes]] = []
+    for blob in gathered:
+        off, lst = 0, []
+        while off < len(blob):
+            (n,) = struct.unpack_from("<I", blob, off)
+            off += 4
+            lst.append(blob[off:off + n])
+            off += n
+        per_rank.append(lst)
+    return b"".join(per_rank[i % count][i // count]
+                    for i in range(len(reads))).decode()
+
+
 def run_graph_aligner(graph: Graph, read_files, out_file: str,
                       preset: str = "hifi", overrides=None,
-                      echo: bool = False, out=None) -> None:
+                      echo: bool = False, out=None, shard=None) -> None:
     if graph is None:
         print("align: missing input graph (-f)", file=sys.stderr)
         raise SystemExit(1)
@@ -1186,7 +1239,7 @@ def run_graph_aligner(graph: Graph, read_files, out_file: str,
         params = dataclasses.replace(
             params, band=-(-params.band // 8) * 8,
             wide_band=-(-max(params.wide_band, params.band) // 8) * 8)
-    if echo:
+    if echo and (shard is None or shard[0] == 0):
         # analogue of the reference's `Invoking: <GraphAligner cmd>` echo
         # (src/main.cpp:167-168): print the fully resolved in-house
         # invocation so runs are reproducible from the log.  When the GAF
@@ -1202,6 +1255,19 @@ def run_graph_aligner(graph: Graph, read_files, out_file: str,
             f" --max-anchors {params.max_anchors}"
             f" --max-paths-per-anchor {params.max_paths_per_anchor}"
             f" --band {params.band} --wide-band {params.wide_band}\n")
+    if shard is not None and shard[1] > 1:
+        text = align_reads_distributed(graph, reads, params, shard)
+        if text is None:
+            return  # non-zero rank: rank 0 writes the gathered GAF
+        lg.verbose(f"Aligned {len(reads)} reads (distributed x{shard[1]}): "
+                   f"{text.count(chr(10))} records")
+        if out_file:
+            stream = OutputStream(out_file)
+            stream.write(text)
+            stream.close()
+        else:
+            sys.stdout.write(text)
+        return
     results = align_reads(graph, reads, params=params)
     n_hits = sum(len(h) for _, _, h in results)
     lg.verbose(f"Aligned {len(reads)} reads: {n_hits} records")

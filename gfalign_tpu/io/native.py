@@ -199,13 +199,22 @@ def available() -> bool:
     return _load() is not None
 
 
+_USER_THREADS = [0]
+
+
 def set_threads(n: int) -> None:
     """Cap the native parser's worker count (CLI -j/--threads; reference
     sizes its thread pool with it, src/main.cpp:658).  0 restores the
     hardware-concurrency default.  No-op without the native library."""
+    _USER_THREADS[0] = int(n)
     lib = _load()
     if lib is not None:
         lib.gfalign_set_threads(int(n))
+
+
+def user_threads() -> int:
+    """The last explicit set_threads value (0 = never set / default)."""
+    return _USER_THREADS[0]
 
 
 def _blob_to_list(ptr: int, length: int) -> List[str]:

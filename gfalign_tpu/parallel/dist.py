@@ -34,6 +34,42 @@ def process_info():
         return 0, 1
 
 
+_LOCAL_COUNT = [0]
+
+
+def local_process_count() -> int:
+    """Number of job processes running on THIS host (>= 1), via a one-time
+    hostname census through the coordination-service KV store.  Used to
+    divide host cores among co-located processes (e.g. the distributed
+    align mode caps each process's native thread pool at
+    cores / local_process_count so same-host scaling runs don't
+    oversubscribe).  Falls back to the full process count (the
+    conservative same-host assumption) when the KV client is missing."""
+    if _LOCAL_COUNT[0]:
+        return _LOCAL_COUNT[0]
+    pid, count = process_info()
+    if count == 1:
+        _LOCAL_COUNT[0] = 1
+        return 1
+    try:
+        import socket
+
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is None:
+            raise RuntimeError("no distributed client")
+        host = socket.gethostname()
+        client.key_value_set(f"gfhost/{pid}", host)
+        n = sum(1 for p in range(count)
+                if client.blocking_key_value_get(f"gfhost/{p}",
+                                                 600_000) == host)
+        _LOCAL_COUNT[0] = max(1, n)
+    except Exception:
+        _LOCAL_COUNT[0] = count
+    return _LOCAL_COUNT[0]
+
+
 def shard_records(records: Iterable[T],
                   process_index: int | None = None,
                   process_count: int | None = None) -> Iterator[T]:

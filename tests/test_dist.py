@@ -410,3 +410,61 @@ if pid == 0:
                            "random3.search_nodelist.tsv"), "1", "4",
            out=want)
     assert outs[0][0] == want.getvalue()
+
+
+def test_real_two_process_align(tmp_path):
+    """Distributed align mode: two real jax.distributed processes align
+    read-index shards; rank 0's gathered GAF must be byte-identical to the
+    single-process run (reads are independent — the gather reassembles
+    exact input order)."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+    import pathlib
+
+    from gfalign_tpu.synth import make_workload, write_workload
+
+    wl = make_workload(seed=11, n_segments=100, n_reads=24,
+                       seg_len=(150, 400), read_len=(400, 1200))
+    paths = write_workload(wl, str(tmp_path / "wl"))
+
+    # single-process reference run (in-process; conftest pins CPU)
+    from gfalign_tpu.cli.main import main as _main
+
+    single = tmp_path / "single.gaf"
+    _main(["align", "-f", paths["gfa"], "-r", paths["reads"],
+           "-o", str(single)])
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    out2 = tmp_path / "dist.gaf"
+    worker = tmp_path / "worker.py"
+    worker.write_text(f"""
+import sys, os
+sys.path.insert(0, {str(repo)!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+os.environ["GFALIGN_TPU_DISTRIBUTED"] = "1"
+from gfalign_tpu.cli.main import main
+main(["align", "-f", {paths["gfa"]!r}, "-r", {paths["reads"]!r},
+      "-o", {str(out2)!r}])
+""")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    for attempt in range(5):
+        if out2.exists():
+            out2.unlink()
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        procs = [subprocess.Popen(
+            [_sys.executable, str(worker), str(i), "2", port],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env) for i in range(2)]
+        outs = [p.communicate(timeout=300) for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+    assert all(p.returncode == 0 for p in procs), [o[1][-800:] for o in outs]
+    assert out2.read_bytes() == single.read_bytes()
