@@ -415,6 +415,10 @@ def _note_competitor(graph: Graph, path: OrientedPath, pl,
 SEED_THRESHOLD = 48   # above this many segments, switch to k-mer seeding
 SEED_CHUNK = 32       # reads per seeded scoring batch
 SCORE_CHUNK = 4096    # max pairs per device dispatch (bounds host+HBM use)
+CHAIN_TOL = 128       # diagonal corridor half-width for colinear anchors
+CHAIN_TOP_K = 8       # banded-DP budget per read in the first scoring wave
+# (ties at the boundary extend to at most 2x; reads that fail to place —
+# or keep a scoreable uncovered region — open their full candidate list)
 
 # chunk-buffer pool: freshly allocated chunk arrays pay a first-touch page
 # fault storm on this VM (np.full on a new 67 MB buffer ~2.6 s vs 9 ms to
@@ -668,12 +672,14 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
     path_cache: Dict[tuple, OrientedPath] = {}
     code_cache: Dict[tuple, np.ndarray] = {}
     cand_deltas: Dict[Tuple[int, tuple], int] = {}  # (read, key) -> diagonal
+    cand_chain: Dict[Tuple[int, tuple], int] = {}   # (read, key) -> colinear
+    # anchor-vote support (the candidate ranking key for top-k scoring)
 
     def gen_candidates(r: int, seq: str, anchors: List[tuple],
                        max_paths: int, audit: CapAudit) -> List[tuple]:
         cands: List[tuple] = []
         seen = set()
-        for anchor, seg_diag in anchors:
+        for anchor, seg_diag, _votes in anchors:
             # corridor dedup: a long read's own segments all rank as
             # anchors, and each would re-enumerate the same corridor of
             # paths; an anchor already inside a kept candidate adds no new
@@ -698,6 +704,28 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
                 cand_deltas[(r, key)] = (
                     path_cache[key].offsets[anchor_idx] + seg_diag)
                 cands.append(key)
+        # chain-colinearity rank: a candidate's support is the summed vote
+        # count of the read's anchors that lie ON this path with a
+        # projected diagonal inside the banded corridor — the minimap2-
+        # style colinear-chain weight, computed from votes already in
+        # hand.  Wrong-locus candidates (~90+% of pairs at assembly scale,
+        # the measured align cost driver) get only their seeding anchor's
+        # votes; the true placement accumulates every colinear anchor.
+        # Candidates are sorted by it (stable: generation order breaks
+        # ties) so the placement loop can score just a top-k prefix.
+        for key in cands:
+            delta = cand_deltas[(r, key)]
+            op = path_cache[key]
+            chain = 0
+            for a2, d2, v2 in anchors:
+                try:
+                    k_idx = key.index(a2)
+                except ValueError:
+                    continue
+                if abs(op.offsets[k_idx] + d2 - delta) <= CHAIN_TOL:
+                    chain += v2
+            cand_chain[(r, key)] = chain
+        cands.sort(key=lambda key: -cand_chain[(r, key)])
         return cands
 
     read_audits = [CapAudit() for _ in reads]
@@ -828,17 +856,24 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
                 if e1 + l1 else ([], None)
             edges += redo
         if long_idx:
-            # long reads rung at WIDE_BAND/2 with lows TERMINAL there:
-            # anchor-voted deltas center the band on the true diagonal, so
-            # within-half-band drift covers reads to ~(mid/2)/err bases,
-            # and measured ~93% of pairs are wrong-locus junk that scores
-            # ~0 at every width — re-scoring them wider doubled align
-            # time for zero placements.  Band-EDGE hits (the signal that
-            # a real alignment continues outside) still escalate; noisy
-            # presets (CLR) set band/wide_band high enough that mid ==
-            # WIDE_BAND and keep their full-width first rung.
+            # long reads climb a triage ladder with lows TERMINAL at every
+            # rung: anchor-voted deltas center the band on the true
+            # diagonal, and measured ~93% of pairs are wrong-locus junk
+            # that scores ~0 at every width — re-scoring them wider
+            # doubled align time for zero placements.  The BAND-wide first
+            # rung costs a quarter of the mid rung and kills that junk
+            # cheaply; a genuine placement's in-band best rides the anchor
+            # diagonal until indel drift exits the band, lands ON the band
+            # edge, and escalates (band-EDGE hits are the signal that a
+            # real alignment continues outside).  Noisy presets (CLR) set
+            # band/wide_band high enough that BAND == mid == WIDE_BAND
+            # collapses the ladder to their full-width rung.
             mid = max(BAND, -(-(WIDE_BAND // 2) // 8) * 8)
-            e1, _ = rung(long_idx, mid, keep_low=True)
+            e1 = long_idx
+            if BAND < mid:
+                e1, _ = rung(e1, BAND, keep_low=True)
+            if e1:
+                e1, _ = rung(e1, mid, keep_low=True)
             if e1 and mid < WIDE_BAND:
                 e1, _ = rung(e1, WIDE_BAND, keep_low=True)
             edges += e1
@@ -962,15 +997,43 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
     dead_pairs: set = set()
 
     def placement_rounds(active: List[int]) -> None:
-      for _round in range(4):
+      # Two-wave scoring with chain-ranked top-k: each read's first wave
+      # scores only its CHAIN_TOP_K best-supported candidates (ties at the
+      # boundary extend, capped at 2x, so an equal-support multi-mapping
+      # competitor is never dropped from the mapq evidence).  A read that
+      # places nothing — or keeps a scoreable uncovered region (chimeric /
+      # supplementary case whose second locus may rank below the cut) —
+      # opens its full candidate list on the next iteration.  Scores are
+      # cached per (read, candidate) and invalidated when the read is
+      # masked, so the tail-opening iteration re-scores nothing it already
+      # paid for; with pruning inactive (few candidates) the flow is
+      # identical to the previous 4-round loop (mask_rounds keeps the same
+      # 4-masking budget per read).
+      score_cache: Dict[Tuple[int, tuple], Tuple[int, int, int, int]] = {}
+      mask_rounds: Dict[int, int] = {r: 0 for r in active}
+      open_k: Dict[int, int] = {}
+      for r in active:
+          keys = cand_lists[r]
+          k = min(CHAIN_TOP_K, len(keys))
+          if k < len(keys):
+              edge = cand_chain.get((r, keys[k - 1]), 0)
+              while (k < len(keys) and k < 2 * CHAIN_TOP_K
+                     and cand_chain.get((r, keys[k]), 0) == edge):
+                  k += 1
+          open_k[r] = k
+      for _iter in range(8):
         if not active:
             break
-        pairs = [(r, key) for r in active for key in cand_lists[r]
-                 if (r, key) not in dead_pairs]
-        scored = score_pairs(pairs)
+        pairs_all = [(r, key) for r in active
+                     for key in cand_lists[r][:open_k[r]]
+                     if (r, key) not in dead_pairs]
+        to_score = [p for p in pairs_all if p not in score_cache]
+        scored = score_pairs(to_score)
+        for n, p in enumerate(to_score):
+            score_cache[p] = scored[n]
         by_read: Dict[int, List[tuple]] = defaultdict(list)
-        for n, (r, key) in enumerate(pairs):
-            v, bi, bj, banded = scored[n]
+        for r, key in pairs_all:
+            v, bi, bj, banded = score_cache[(r, key)]
             if v < min_score:
                 dead_pairs.add((r, key))
             by_read[r].append((v, bi, bj, banded, key))
@@ -1016,8 +1079,15 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
                 for a, b in accepted[r]:
                     work[r][a:b] = seqalign.PAD
                 dirty_reads.add(r)
-                if _longest_uncovered(qlen, accepted[r]) >= min_score:
-                    next_active.append(r)
+                mask_rounds[r] += 1
+                for key in cand_lists[r]:
+                    score_cache.pop((r, key), None)  # masked read changed
+            still = _longest_uncovered(qlen, accepted[r]) >= min_score
+            if (not placed or still) and open_k[r] < len(cand_lists[r]):
+                open_k[r] = len(cand_lists[r])   # open the chain tail
+                next_active.append(r)
+            elif placed and still and mask_rounds[r] < 4:
+                next_active.append(r)
         active = next_active
 
     placement_rounds(active)

@@ -156,15 +156,17 @@ class KmerIndex:
     def anchors(self, read_codes: np.ndarray,
                 max_anchors: int = MAX_ANCHORS_PER_READ) -> List[Tuple[int, str]]:
         """(segment, orientation) anchors for a read, by vote count."""
-        return [key for key, _ in self.anchors_with_diag(read_codes,
-                                                         max_anchors)]
+        return [key for key, *_ in self.anchors_with_diag(read_codes,
+                                                          max_anchors)]
 
     def anchors_with_diag(self, read_codes: np.ndarray,
                           max_anchors: int = MAX_ANCHORS_PER_READ,
-                          audit=None) -> List[Tuple[Tuple[int, str], int]]:
-        """[(anchor, diag)] by vote count; diag is the most-voted
+                          audit=None) -> List[Tuple[Tuple[int, str], int, int]]:
+        """[(anchor, diag, votes)] by vote count; diag is the most-voted
         (segment offset - read position) — the expected alignment diagonal
         within the oriented segment, which the banded scorer centers on.
+        votes (the anchor's total k-mer hit count) feeds the candidate
+        chain-colinearity ranking in graph_align.
 
         The cap extends through vote TIES at the boundary (an anchor as
         well-supported as a kept one is never silently dropped); anchors
@@ -220,14 +222,15 @@ class KmerIndex:
             cut += 1
         if audit is not None and cut < len(ranked_keys):
             audit.hit("anchors_per_read", len(ranked_keys) - cut)
-        return [((int(kk) // 2, "+-"[int(kk) % 2]), int(best_diag[int(kk)]))
-                for kk in ranked_keys[:cut]]
+        return [((int(kk) // 2, "+-"[int(kk) % 2]), int(best_diag[int(kk)]),
+                 int(vv))
+                for kk, vv in zip(ranked_keys[:cut], ranked_votes[:cut])]
 
 
 def anchors_with_diag_batch(index: KmerIndex,
                             reads_codes: List[np.ndarray],
                             max_anchors: int = MAX_ANCHORS_PER_READ,
-                            audits=None) -> List[List[Tuple[Tuple[int, str], int]]]:
+                            audits=None) -> List[List[Tuple[Tuple[int, str], int, int]]]:
     """anchors_with_diag for MANY reads in one vectorized pass: one
     searchsorted + lexsort over the concatenated hit stream with the read
     id as the major sort key.  Per-read results (anchor order, diagonal
@@ -306,8 +309,9 @@ def anchors_with_diag_batch(index: KmerIndex,
             audits[r].hit("anchors_per_read", n - cut)
         keys = a_key[g[:cut]]
         diags = best_diag[g[:cut]]
-        out[r] = [((int(kk) // 2, "+-"[int(kk) % 2]), int(dd))
-                  for kk, dd in zip(keys, diags)]
+        vts = votes[:cut]
+        out[r] = [((int(kk) // 2, "+-"[int(kk) % 2]), int(dd), int(vv))
+                  for kk, dd, vv in zip(keys, diags, vts)]
     return out
 
 
