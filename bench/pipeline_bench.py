@@ -77,9 +77,50 @@ def check_truth(gaf_path: str, truth) -> dict:
     }
 
 
+_DIST_WORKER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+os.environ["GFALIGN_TPU_DISTRIBUTED"] = "1"
+from gfalign_tpu.cli.main import main
+main(["align", "-f", {gfa!r}, "-r", {reads!r}, "-o", {out!r}])
+"""
+
+
+def _run_distributed_align(gfa: str, reads: str, out: str,
+                           n_procs: int, out_dir: str) -> None:
+    """N real jax.distributed CLI processes, each pinned to its own core;
+    rank 0 writes the gathered input-order GAF to `out`."""
+    import socket
+    import subprocess
+
+    script = pathlib.Path(out_dir) / "dist_align_worker.py"
+    script.write_text(_DIST_WORKER.format(repo=str(ROOT), gfa=gfa,
+                                          reads=reads, out=out))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "GFALIGN_TPU_DISTRIBUTED": "1"}
+    procs = [subprocess.Popen(
+        ["taskset", "-c", str(i % (os.cpu_count() or 1)), sys.executable,
+         str(script), str(i), str(n_procs), port],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env)
+        for i in range(n_procs)]
+    for p in procs:
+        p.wait(timeout=7200)
+    assert all(p.returncode == 0 for p in procs), \
+        [p.returncode for p in procs]
+
+
 def run_pipeline(out_dir: str, seed: int, n_segments: int, n_reads: int,
                  tangle_k: int, max_steps: int,
-                 read_len=(2000, 8000), tangle_budget: int = 2) -> dict:
+                 read_len=(2000, 8000), tangle_budget: int = 2,
+                 dist_align: int = 0) -> dict:
     from gfalign_tpu.synth import make_workload, write_workload
 
     res: dict = {"n_segments": n_segments, "n_reads": n_reads,
@@ -102,6 +143,18 @@ def run_pipeline(out_dir: str, seed: int, n_segments: int, n_reads: int,
     res["align_reads_per_s"] = round(n_reads / dt, 2)
     res["gaf_records"] = sum(1 for _ in open(gaf))
     res.update(check_truth(gaf, wl.truth))
+
+    if dist_align > 1:
+        dist_gaf = os.path.join(out_dir, "align_dist.gaf")
+        t0 = time.perf_counter()
+        _run_distributed_align(paths["gfa"], paths["reads"], dist_gaf,
+                               dist_align, out_dir)
+        dt = time.perf_counter() - t0
+        res["align_dist_procs"] = dist_align
+        res["align_dist_s"] = round(dt, 2)
+        res["align_dist_reads_per_s"] = round(n_reads / dt, 2)
+        res["align_dist_byte_equal"] = (
+            open(gaf, "rb").read() == open(dist_gaf, "rb").read())
 
     t0 = time.perf_counter()
     _rc, stats_out = _run_cli(["evalGFA", "-g", gaf], capture=True)
@@ -160,6 +213,8 @@ def main() -> None:
     ap.add_argument("--max-steps", type=int, default=10000)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--dist-align", type=int, default=0,
+                    help="also run align distributed over N processes")
     args = ap.parse_args()
     n_segments = args.segments or (120 if args.small else 1000)
     n_reads = args.reads or (200 if args.small else 10000)
@@ -167,7 +222,8 @@ def main() -> None:
     out_dir = args.out or str(ROOT / "bench" / ".workload")
     res = run_pipeline(out_dir, args.seed, n_segments, n_reads,
                        args.tangle_k, args.max_steps, read_len,
-                       tangle_budget=args.tangle_budget)
+                       tangle_budget=args.tangle_budget,
+                       dist_align=args.dist_align)
     print(json.dumps(res))
 
 

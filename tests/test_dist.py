@@ -468,3 +468,84 @@ main(["align", "-f", {paths["gfa"]!r}, "-r", {paths["reads"]!r},
             break
     assert all(p.returncode == 0 for p in procs), [o[1][-800:] for o in outs]
     assert out2.read_bytes() == single.read_bytes()
+
+
+@fixtures
+@pytest.mark.parametrize("nproc,mode", [(4, "frontier"), (4, "read"),
+                                        (8, "frontier"), (8, "read")])
+def test_real_multiproc_search_parity(tmp_path, nproc, mode):
+    """Scaled distributed-correctness: the full scored tangle search at 4
+    and 8 real jax.distributed processes, in BOTH sharding modes
+    (frontier-sharded with replicated reads; read-sharded through the
+    native driver's ring-sum).  Output must stay byte-identical to the
+    single-process run — validates the KV/shm transports and the
+    replicated commit loop beyond the 2-process tests."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    worker = tmp_path / "worker.py"
+    worker.write_text(f"""
+import sys, io
+sys.path.insert(0, {str(repo)!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port, mode = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                          sys.argv[4])
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+from gfalign_tpu.engine.alignments import AlignmentSet
+from gfalign_tpu.engine.evaluate import (distributed_evaluator,
+                                         frontier_sharded_evaluator)
+from gfalign_tpu.engine.search import search
+from gfalign_tpu.io.gfa import read_gfa
+tf = {str(REFERENCE / 'testFiles')!r}
+graph = read_gfa(tf + "/random3.gfa")
+aln = AlignmentSet()
+if mode == "frontier":
+    aln.load(tf + "/random3.gaf")
+    evaluate_fn = frontier_sharded_evaluator()
+else:
+    aln.load(tf + "/random3.gaf", shard=(pid, nproc), shard_by="qname")
+    evaluate_fn = distributed_evaluator()
+buf = io.StringIO()
+search(graph, aln, tf + "/random3.search_nodelist.tsv", "1", "4",
+       out=buf, evaluate_fn=evaluate_fn)
+if pid == 0:
+    print(buf.getvalue(), end="")
+""")
+    import io as _io
+
+    from gfalign_tpu.engine.alignments import AlignmentSet
+    from gfalign_tpu.engine.search import search
+    from gfalign_tpu.io.gfa import read_gfa
+
+    graph = read_gfa(str(REFERENCE / "testFiles" / "random3.gfa"))
+    aln = AlignmentSet()
+    aln.load(str(REFERENCE / "testFiles" / "random3.gaf"))
+    want = _io.StringIO()
+    search(graph, aln, str(REFERENCE / "testFiles" /
+                           "random3.search_nodelist.tsv"), "1", "4",
+           out=want)
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    errs = []
+    for attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        procs = [subprocess.Popen(
+            [_sys.executable, str(worker), str(i), str(nproc), port, mode],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env) for i in range(nproc)]
+        outs = [p.communicate(timeout=600) for p in procs]
+        got = "".join(ln for ln in outs[0][0].splitlines(keepends=True)
+                      if not ln.startswith("[Gloo]"))
+        if all(p.returncode == 0 for p in procs) and got == want.getvalue():
+            return
+        errs.append((attempt, [p.returncode for p in procs],
+                     [o[1][-400:] for o in outs]))
+    raise AssertionError(f"{nproc}-process {mode} search parity: {errs}")
