@@ -25,6 +25,7 @@
 #include <zlib.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -1095,8 +1096,11 @@ struct PathNode {
   int8_t fix;       // if >= 0, parent's step orientation is rewritten
 };
 
-static double g_shm_wait_s = 0.0;   // diagnostic: total blocked time
-static int64_t g_shm_waits = 0;
+// diagnostic wait tallies: relaxed atomics — in production each rank is
+// its own process, but the ring protocol is also exercised by threads
+// (native/sanitize_test.cpp), and a plain global would be a data race
+static std::atomic<int64_t> g_shm_wait_ns{0};  // total blocked time
+static std::atomic<int64_t> g_shm_waits{0};
 
 static double mono_s() { return host_mono_s(); }
 
@@ -1110,8 +1114,9 @@ static void shm_wait_ge(const int64_t* cell, int64_t want) {
       nanosleep(&ts, nullptr);
     }
   }
-  g_shm_wait_s += mono_s() - t0;
-  g_shm_waits++;
+  g_shm_wait_ns.fetch_add(static_cast<int64_t>((mono_s() - t0) * 1e9),
+                          std::memory_order_relaxed);
+  g_shm_waits.fetch_add(1, std::memory_order_relaxed);
 }
 
 // Pipelined same-host tally exchange over a /dev/shm ring
@@ -1982,10 +1987,9 @@ int64_t kmer_index_build(const int8_t* codes, int64_t n_codes,
 // diagnostics: (total blocked seconds in shm waits, wait count) since the
 // last call; resets on read
 void search_wait_stats(double* wait_s, int64_t* waits) {
-  *wait_s = search_impl::g_shm_wait_s;
-  *waits = search_impl::g_shm_waits;
-  search_impl::g_shm_wait_s = 0.0;
-  search_impl::g_shm_waits = 0;
+  *wait_s = 1e-9 * static_cast<double>(
+      search_impl::g_shm_wait_ns.exchange(0, std::memory_order_relaxed));
+  *waits = search_impl::g_shm_waits.exchange(0, std::memory_order_relaxed);
 }
 
 // Banded variant of seq_local_traceback: recompute only the band
