@@ -80,6 +80,13 @@ dt = time.perf_counter() - t0
 import hashlib
 print("RESULT", dt)
 print("EVAL", eval_s[0])
+from gfalign_tpu.io import native as _native
+prof = _native.search_profile()
+if prof is not None:
+    total_s, ev_s, wait_s, waits = prof
+    commit_s = max(0.0, total_s - ev_s - wait_s)
+    print("PROFILE", round(total_s, 4), round(ev_s, 4), round(wait_s, 4),
+          int(waits), round(commit_s, 4))
 print("HASH", hashlib.sha256(out.getvalue().encode()).hexdigest(),
       len(out.getvalue()))
 """
@@ -102,17 +109,22 @@ def run_procs(n: int, script: pathlib.Path, pin: bool = True) -> tuple:
              for i in range(n)]
     outs = [p.communicate(timeout=3600) for p in procs]
     assert all(p.returncode == 0 for p in procs), [o[1][-800:] for o in outs]
-    times, evals, hashes = [], [], []
+    times, evals, hashes, profiles = [], [], [], []
     for out, _ in outs:
         for ln in out.splitlines():
             if ln.startswith("RESULT"):
                 times.append(float(ln.split()[1]))
             if ln.startswith("EVAL"):
                 evals.append(float(ln.split()[1]))
+            if ln.startswith("PROFILE"):
+                t, e, w, nw, c = ln.split()[1:]
+                profiles.append({"total_s": float(t), "eval_s": float(e),
+                                 "ring_wait_s": float(w), "waits": int(nw),
+                                 "commit_s": float(c)})
             if ln.startswith("HASH"):
                 hashes.append(ln.split()[1:])
     assert len(set(map(tuple, hashes))) == 1, "processes disagree on output"
-    return max(times), max(evals), hashes[0]
+    return max(times), max(evals), hashes[0], profiles
 
 
 def main() -> None:
@@ -199,9 +211,9 @@ def main() -> None:
         nodelist=paths["search_nodelist"], source=wl.source,
         dest=wl.destination, max_steps=args.max_steps))
 
-    t1, e1, h1 = run_procs(1, script)             # 1 proc, 1 core
-    tn, en, hn = run_procs(args.procs, script)    # N procs, 1 core each
-    t1_free, _, h1f = run_procs(1, script, pin=False)  # 1 proc, all cores
+    t1, e1, h1, p1 = run_procs(1, script)           # 1 proc, 1 core
+    tn, en, hn, pn = run_procs(args.procs, script)  # N procs, 1 core each
+    t1_free, _, h1f, _ = run_procs(1, script, pin=False)  # 1 proc, all cores
     assert h1 == hn == h1f, "distributed output differs from single-process"
     print(json.dumps({
         "segments": args.segments, "reads": args.reads,
@@ -218,6 +230,10 @@ def main() -> None:
         "total_speedup_per_core": round(t1 / tn, 3),
         "efficiency": round(t1 / (args.procs * tn), 3),
         "procs": args.procs,
+        # native-driver split (search_profile): scoring (eval) shards,
+        # ring-wait is communication, commit = replicated walk (Amdahl)
+        "profile_1proc": p1,
+        f"profile_{args.procs}proc": pn,
     }))
 
 

@@ -157,6 +157,10 @@ def _bind(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64)]
     lib.search_free.restype = None
     lib.search_free.argtypes = [ctypes.c_char_p]
+    lib.search_profile.restype = None
+    lib.search_profile.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64)]
     lib.seq_banded_pairs.restype = None
     lib.seq_banded_pairs.argtypes = [
         ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
@@ -215,6 +219,23 @@ def set_threads(n: int) -> None:
 def user_threads() -> int:
     """The last explicit set_threads value (0 = never set / default)."""
     return _USER_THREADS[0]
+
+
+def search_profile():
+    """(total_s, eval_s, wait_s, waits) accumulated by the native search
+    driver since the last call (counters reset on read); None without the
+    library.  commit/walk time — the replicated Amdahl term of
+    thin-workload scaling — is total - eval - wait."""
+    lib = _load()
+    if lib is None:
+        return None
+    t = ctypes.c_double()
+    e = ctypes.c_double()
+    w = ctypes.c_double()
+    n = ctypes.c_int64()
+    lib.search_profile(ctypes.byref(t), ctypes.byref(e), ctypes.byref(w),
+                       ctypes.byref(n))
+    return (t.value, e.value, w.value, n.value)
 
 
 def _blob_to_list(ptr: int, length: int) -> List[str]:

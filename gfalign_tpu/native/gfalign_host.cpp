@@ -1101,6 +1101,11 @@ struct PathNode {
 // (native/sanitize_test.cpp), and a plain global would be a data race
 static std::atomic<int64_t> g_shm_wait_ns{0};  // total blocked time
 static std::atomic<int64_t> g_shm_waits{0};
+// profiling split for the search driver (search_profile): time spent
+// SCORING (eval_one) vs ring-WAITING vs everything else (the replicated
+// walk/commit loop, derived as total - eval - wait by the caller)
+static std::atomic<int64_t> g_eval_ns{0};
+static std::atomic<int64_t> g_run_ns{0};
 
 static double mono_s() { return host_mono_s(); }
 
@@ -1338,6 +1343,14 @@ struct Driver {
   // fused filter + fw/rc scoring + tally for ONE candidate (the
   // materialized steps of `p`), nw_evaluate_frontier semantics
   void eval_one(int64_t p, int64_t* bad, int64_t* good, int64_t* unal) {
+    const double t0 = mono_s();
+    struct Acc {  // tally on every exit path
+      double t0;
+      ~Acc() {
+        g_eval_ns.fetch_add(static_cast<int64_t>((mono_s() - t0) * 1e9),
+                            std::memory_order_relaxed);
+      }
+    } acc{t0};
     materialize(p);
     const int64_t n = static_cast<int64_t>(steps_sid.size());
     std::vector<int32_t> akeys(n);
@@ -1703,7 +1716,11 @@ int32_t search_native(
     d.nproc = nproc;
     d.sum_mode = ring_sum_mode != 0;
   }
+  const double run_t0 = search_impl::mono_s();
   d.run(source_uid);
+  search_impl::g_run_ns.fetch_add(
+      static_cast<int64_t>((search_impl::mono_s() - run_t0) * 1e9),
+      std::memory_order_relaxed);
   char* buf = static_cast<char*>(std::malloc(d.out.size() + 1));
   if (!buf) return -1;
   std::memcpy(buf, d.out.data(), d.out.size());
@@ -1990,6 +2007,19 @@ void search_wait_stats(double* wait_s, int64_t* waits) {
   *wait_s = 1e-9 * static_cast<double>(
       search_impl::g_shm_wait_ns.exchange(0, std::memory_order_relaxed));
   *waits = search_impl::g_shm_waits.exchange(0, std::memory_order_relaxed);
+}
+
+// Per-process profile split of search_native time since the last call:
+// total driver time, scoring (eval_one) time, ring-wait time + count.
+// commit/walk time = total - eval - wait (the replicated serial part —
+// the Amdahl term of thin-workload scaling).  Counters reset on read.
+void search_profile(double* total_s, double* eval_s, double* wait_s,
+                    int64_t* waits) {
+  *total_s = 1e-9 * static_cast<double>(
+      search_impl::g_run_ns.exchange(0, std::memory_order_relaxed));
+  *eval_s = 1e-9 * static_cast<double>(
+      search_impl::g_eval_ns.exchange(0, std::memory_order_relaxed));
+  search_wait_stats(wait_s, waits);
 }
 
 // Banded variant of seq_local_traceback: recompute only the band
