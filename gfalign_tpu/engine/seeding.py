@@ -20,7 +20,7 @@ comes from the DP, seeding only bounds the search space.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Set, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
@@ -227,6 +227,30 @@ class KmerIndex:
                 for kk, vv in zip(ranked_keys[:cut], ranked_votes[:cut])]
 
 
+def _native_votes(index: KmerIndex, reads_codes, max_anchors: int,
+                  audits) -> Optional[List[List[Tuple[Tuple[int, str], int, int]]]]:
+    """Native anchor voting, or None (library absent / non-native index
+    layout); bit-exact with the numpy path."""
+    from ..io import native
+
+    if getattr(index.uniq, "dtype", None) != np.int32:
+        return None
+    got = native.anchor_votes(index.uniq, index.starts, index.sids,
+                              index.orients, index.offs, reads_codes,
+                              index.k, max_anchors)
+    if got is None:
+        return None
+    sid, orient, diag, votes, roff, dropped = got
+    out: List[List[Tuple[Tuple[int, str], int, int]]] = []
+    for r in range(len(reads_codes)):
+        a, b = int(roff[r]), int(roff[r + 1])
+        out.append([((int(sid[i]), "+-"[orient[i]]), int(diag[i]),
+                     int(votes[i])) for i in range(a, b)])
+        if audits is not None and dropped[r]:
+            audits[r].hit("anchors_per_read", int(dropped[r]))
+    return out
+
+
 def anchors_with_diag_batch(index: KmerIndex,
                             reads_codes: List[np.ndarray],
                             max_anchors: int = MAX_ANCHORS_PER_READ,
@@ -237,7 +261,17 @@ def anchors_with_diag_batch(index: KmerIndex,
     votes, tie-extension, audit tallies) are identical to calling
     anchors_with_diag per read (tests/test_seeding.py), but the per-call
     numpy fixed costs are paid once per BATCH — ~9 ms/read of voting was
-    the #2 align cost at 10k-read scale after device scoring."""
+    the #2 align cost at 10k-read scale after device scoring.
+
+    Engine selection: the native C++ voter (io/native.anchor_votes —
+    per-read binary search + small sorts, threaded over reads) replaces
+    the numpy pipeline when the library is loaded and the index has the
+    native int32 layout: the batched searchsorted + lexsort over tens of
+    millions of hits was still ~8.6 ms/read.  Results are bit-exact
+    either way (tests/test_align_seeded.py cross-checks)."""
+    got = _native_votes(index, reads_codes, max_anchors, audits)
+    if got is not None:
+        return got
     qs, poss, rids = [], [], []
     for r, codes in enumerate(reads_codes):
         kms = _kmer_codes(codes, index.k)

@@ -161,6 +161,22 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.search_profile.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64)]
+    lib.gfalign_free.restype = None
+    lib.gfalign_free.argtypes = [ctypes.c_void_p]
+    lib.anchor_votes.restype = ctypes.c_int32
+    lib.anchor_votes.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))]
     lib.seq_banded_pairs.restype = None
     lib.seq_banded_pairs.argtypes = [
         ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
@@ -219,6 +235,64 @@ def set_threads(n: int) -> None:
 def user_threads() -> int:
     """The last explicit set_threads value (0 = never set / default)."""
     return _USER_THREADS[0]
+
+
+def anchor_votes(uniq: np.ndarray, csr_starts: np.ndarray,
+                 sids: np.ndarray, orients: np.ndarray, offs: np.ndarray,
+                 reads_codes, k: int, max_anchors: int):
+    """Per-read ranked (sid, orient, diag, votes) anchors over the CSR
+    k-mer postings — the native form of
+    engine/seeding.anchors_with_diag_batch (bit-exact semantics; see the
+    C++ docstring).  Returns (sid, orient, diag, votes, roff, dropped)
+    numpy arrays (roff: n_reads + 1 offsets), or None when the library is
+    absent or the index dtype is not the native int32 layout."""
+    lib = _load()
+    if lib is None or k > 15 or uniq.dtype != np.int32:
+        return None
+    n_reads = len(reads_codes)
+    read_off = np.zeros(n_reads + 1, np.int64)
+    for i, c in enumerate(reads_codes):
+        read_off[i + 1] = read_off[i] + len(c)
+    blob = (np.concatenate([np.ascontiguousarray(c, np.int8)
+                            for c in reads_codes])
+            if n_reads and read_off[-1] else np.zeros(1, np.int8))
+    uq = np.ascontiguousarray(uniq, np.int32)
+    st = np.ascontiguousarray(csr_starts, np.int64)
+    sd = np.ascontiguousarray(sids, np.int32)
+    orc = np.ascontiguousarray(orients, np.int8)
+    of = np.ascontiguousarray(offs, np.int32)
+    i8 = ctypes.POINTER(ctypes.c_int8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    p_sid = i32()
+    p_or = i8()
+    p_diag = i64()
+    p_votes = i64()
+    p_roff = i64()
+    p_drop = i64()
+    rc = lib.anchor_votes(
+        uq.ctypes.data_as(i32), st.ctypes.data_as(i64), len(uq),
+        sd.ctypes.data_as(i32), orc.ctypes.data_as(i8),
+        of.ctypes.data_as(i32), blob.ctypes.data_as(i8),
+        read_off.ctypes.data_as(i64), n_reads, k, max_anchors,
+        ctypes.byref(p_sid), ctypes.byref(p_or), ctypes.byref(p_diag),
+        ctypes.byref(p_votes), ctypes.byref(p_roff), ctypes.byref(p_drop))
+    if rc != 0:
+        return None
+    try:
+        roff = np.ctypeslib.as_array(p_roff, (n_reads + 1,)).copy()
+        total = int(roff[-1]) if n_reads else 0
+        nz = max(1, total)
+        out = (np.ctypeslib.as_array(p_sid, (nz,))[:total].copy(),
+               np.ctypeslib.as_array(p_or, (nz,))[:total].copy(),
+               np.ctypeslib.as_array(p_diag, (nz,))[:total].copy(),
+               np.ctypeslib.as_array(p_votes, (nz,))[:total].copy(),
+               roff,
+               np.ctypeslib.as_array(p_drop, (max(1, n_reads),))[:n_reads].copy())
+    finally:
+        for p in (p_sid, p_or, p_diag, p_votes, p_roff, p_drop):
+            lib.gfalign_free(p)
+    return out
 
 
 def search_profile():

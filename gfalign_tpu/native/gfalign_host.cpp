@@ -2001,6 +2001,141 @@ int64_t kmer_index_build(const int8_t* codes, int64_t n_codes,
   return T;
 }
 
+void gfalign_free(void* p) { std::free(p); }
+
+// Per-read anchor voting over the CSR k-mer postings — the align-mode
+// seeding hot loop (engine/seeding.anchors_with_diag_batch semantics,
+// bit-exact: rank order (-votes, (sid, orient)), best-diag tie-breaks
+// (max run count, then min |diag|, then min diag), and the vote-tie cap
+// extension).  The numpy pipeline (searchsorted + lexsort over tens of
+// millions of hits) cost ~8.6 ms/read at 1k-segment scale; this is a
+// threaded binary search + per-read sort of a few thousand hits.
+// Outputs are malloc'd (caller frees each with gfalign_free); out_roff
+// has n_reads + 1 entries.  Returns 0, or -1 on bad input.
+int32_t anchor_votes(
+    const int32_t* uniq, const int64_t* csr_starts, int64_t n_uniq,
+    const int32_t* sids, const int8_t* orients, const int32_t* offs,
+    const int8_t* read_codes, const int64_t* read_off, int64_t n_reads,
+    int32_t k, int32_t max_anchors,
+    int32_t** out_sid, int8_t** out_or, int64_t** out_diag,
+    int64_t** out_votes, int64_t** out_roff, int64_t** out_dropped) {
+  if (k < 1 || k > 15 || n_reads < 0 || max_anchors < 0) return -1;
+  const int64_t mask = (int64_t(1) << (2 * k)) - 1;
+  struct Anchor {
+    int64_t akey, votes, best_diag, best_cnt;
+  };
+  std::vector<std::vector<Anchor>> per_read(static_cast<size_t>(n_reads));
+  std::vector<int64_t> dropped(static_cast<size_t>(n_reads), 0);
+  unsigned hw = g_max_threads > 0 ? static_cast<unsigned>(g_max_threads)
+                                  : allowed_cpus();
+  int64_t nt = std::max<int64_t>(
+      1, std::min<int64_t>(static_cast<int64_t>(hw), n_reads));
+  auto worker = [&](int64_t r0, int64_t r1) {
+    std::vector<std::pair<int64_t, int64_t>> hits;  // (akey, diag)
+    for (int64_t r = r0; r < r1; r++) {
+      hits.clear();
+      const int8_t* s = read_codes + read_off[r];
+      const int64_t L = read_off[r + 1] - read_off[r];
+      int64_t kk = 0, bad = -1;
+      for (int64_t i = 0; i < L; i++) {
+        const int8_t c = s[i];
+        if (c >= 4) bad = i;
+        kk = ((kk << 2) | (c & 3)) & mask;
+        if (i < k - 1 || bad > i - k) continue;
+        const int32_t code = static_cast<int32_t>(kk);
+        const int32_t* it = std::lower_bound(uniq, uniq + n_uniq, code);
+        if (it == uniq + n_uniq || *it != code) continue;
+        const int64_t u = it - uniq;
+        const int64_t pos = i - (k - 1);
+        for (int64_t t = csr_starts[u]; t < csr_starts[u + 1]; t++)
+          hits.emplace_back(static_cast<int64_t>(sids[t]) * 2 + orients[t],
+                            static_cast<int64_t>(offs[t]) - pos);
+      }
+      if (hits.empty()) continue;
+      std::sort(hits.begin(), hits.end());
+      std::vector<Anchor>& anchors = per_read[r];
+      size_t i = 0;
+      while (i < hits.size()) {
+        size_t j = i;
+        while (j < hits.size() && hits[j] == hits[i]) j++;
+        const int64_t akey = hits[i].first, diag = hits[i].second;
+        const int64_t cnt = static_cast<int64_t>(j - i);
+        if (anchors.empty() || anchors.back().akey != akey) {
+          anchors.push_back(Anchor{akey, cnt, diag, cnt});
+        } else {
+          Anchor& a = anchors.back();
+          a.votes += cnt;
+          const int64_t ad = std::llabs(diag), bd = std::llabs(a.best_diag);
+          if (cnt > a.best_cnt ||
+              (cnt == a.best_cnt &&
+               (ad < bd || (ad == bd && diag < a.best_diag)))) {
+            a.best_cnt = cnt;
+            a.best_diag = diag;
+          }
+        }
+        i = j;
+      }
+      std::sort(anchors.begin(), anchors.end(),
+                [](const Anchor& x, const Anchor& y) {
+                  if (x.votes != y.votes) return x.votes > y.votes;
+                  return x.akey < y.akey;
+                });
+      size_t cut = std::min<size_t>(max_anchors, anchors.size());
+      while (cut > 0 && cut < anchors.size() &&
+             anchors[cut].votes == anchors[cut - 1].votes)
+        cut++;
+      dropped[r] = static_cast<int64_t>(anchors.size() - cut);
+      anchors.resize(cut);
+    }
+  };
+  {
+    std::vector<std::thread> th;
+    for (int64_t w = 0; w < nt; w++)
+      th.emplace_back(worker, n_reads * w / nt, n_reads * (w + 1) / nt);
+    for (auto& x : th) x.join();
+  }
+  int64_t total = 0;
+  for (const auto& v : per_read) total += static_cast<int64_t>(v.size());
+  int64_t* roff =
+      static_cast<int64_t*>(std::malloc((n_reads + 1) * sizeof(int64_t)));
+  int32_t* o_sid = static_cast<int32_t*>(std::malloc(
+      std::max<int64_t>(1, total) * sizeof(int32_t)));
+  int8_t* o_or = static_cast<int8_t*>(std::malloc(
+      std::max<int64_t>(1, total) * sizeof(int8_t)));
+  int64_t* o_diag = static_cast<int64_t*>(std::malloc(
+      std::max<int64_t>(1, total) * sizeof(int64_t)));
+  int64_t* o_votes = static_cast<int64_t*>(std::malloc(
+      std::max<int64_t>(1, total) * sizeof(int64_t)));
+  int64_t* o_drop =
+      static_cast<int64_t*>(std::malloc(
+          std::max<int64_t>(1, n_reads) * sizeof(int64_t)));
+  if (!roff || !o_sid || !o_or || !o_diag || !o_votes || !o_drop) {
+    std::free(roff); std::free(o_sid); std::free(o_or);
+    std::free(o_diag); std::free(o_votes); std::free(o_drop);
+    return -1;
+  }
+  int64_t p = 0;
+  for (int64_t r = 0; r < n_reads; r++) {
+    roff[r] = p;
+    for (const Anchor& a : per_read[r]) {
+      o_sid[p] = static_cast<int32_t>(a.akey / 2);
+      o_or[p] = static_cast<int8_t>(a.akey % 2);
+      o_diag[p] = a.best_diag;
+      o_votes[p] = a.votes;
+      p++;
+    }
+    o_drop[r] = dropped[r];
+  }
+  roff[n_reads] = p;
+  *out_sid = o_sid;
+  *out_or = o_or;
+  *out_diag = o_diag;
+  *out_votes = o_votes;
+  *out_roff = roff;
+  *out_dropped = o_drop;
+  return 0;
+}
+
 // diagnostics: (total blocked seconds in shm waits, wait count) since the
 // last call; resets on read
 void search_wait_stats(double* wait_s, int64_t* waits) {

@@ -206,3 +206,40 @@ def test_native_kmer_index_matches_numpy(monkeypatch):
     np.testing.assert_array_equal(nat.sids, ref.sids)
     np.testing.assert_array_equal(nat.orients, ref.orients)
     np.testing.assert_array_equal(nat.offs, ref.offs)
+
+
+def test_native_anchor_votes_bit_exact(chain):
+    """The native C++ anchor voter must be bit-exact with the numpy
+    pipeline: same anchors, rank order, diagonals, votes, and audit
+    tallies (including the vote-tie cap extension)."""
+    import unittest.mock as mock
+
+    from gfalign_tpu.engine import seeding
+    from gfalign_tpu.engine.graph_align import CapAudit
+    from gfalign_tpu.io.fastq import encode_seq
+
+    graph, seqs = chain
+    index = seeding.KmerIndex(graph)
+    if index.uniq.dtype != __import__("numpy").int32:
+        pytest.skip("native index layout unavailable")
+    rng = random.Random(9)
+    reads = []
+    for _ in range(25):
+        s = rng.randrange(0, len(seqs) - 3)
+        seq = "".join(seqs[s:s + rng.randrange(1, 4)])
+        seq = "".join(c if rng.random() > 0.02 else "ACGT"[rng.randrange(4)]
+                      for c in seq)
+        reads.append(encode_seq(seq))
+    reads.append(encode_seq("ACGTN" * 40))   # N-containing
+    reads.append(encode_seq("ACG"))          # below k
+    for ma in (4, 12):
+        a_n = [CapAudit() for _ in reads]
+        a_p = [CapAudit() for _ in reads]
+        nat = seeding._native_votes(index, reads, ma, a_n)
+        assert nat is not None
+        with mock.patch.object(seeding, "_native_votes",
+                               lambda *a, **k: None):
+            py = seeding.anchors_with_diag_batch(index, reads, ma,
+                                                 audits=a_p)
+        assert nat == py
+        assert [a.counts for a in a_n] == [a.counts for a in a_p]
