@@ -41,14 +41,44 @@ sys.path.insert(0, str(ROOT))
 # a C=64,R=4096 batch; C=128,R=16384 amortizes it below measurement noise)
 C, R, N, M = 128, 16384, 64, 64
 
+# Realistic pass: step counts drawn from the r4/r5 tangle fixture
+# (bench/.workload/tangle.gaf read-path step histogram — regenerate with
+# bench/pipeline_bench.py; the snapshot below keeps bench.py
+# self-contained).  Mean ~7 steps, max 12, so the realistic batch pads to
+# stride 16 and the reported rate includes the padding waste a real
+# tangle search pays — the uniform pass alone is blind to it.
+REALISTIC_HIST = {3: 8, 4: 28, 5: 46, 6: 41, 7: 37, 8: 33, 9: 32, 10: 26,
+                  11: 13, 12: 4}
+REAL_STRIDE = 16
 
-def baseline_records_per_s() -> float:
+
+def _realistic_lengths(rng, count):
+    ks = np.array(sorted(REALISTIC_HIST), np.int32)
+    ws = np.array([REALISTIC_HIST[int(k)] for k in ks], np.float64)
+    try:  # prefer the live fixture when present
+        hist = {}
+        with open(ROOT / "bench" / ".workload" / "tangle.gaf") as fh:
+            for line in fh:
+                cols = line.split("\t")
+                if len(cols) > 6:
+                    n = cols[5].count(">") + cols[5].count("<")
+                    if 0 < n <= REAL_STRIDE:
+                        hist[n] = hist.get(n, 0) + 1
+        if hist:
+            ks = np.array(sorted(hist), np.int32)
+            ws = np.array([hist[int(k)] for k in ks], np.float64)
+    except OSError:
+        pass
+    return rng.choice(ks, size=count, p=ws / ws.sum()).astype(np.int32)
+
+
+def baseline_records_per_s(n: int = N, m: int = M) -> float:
     src = ROOT / "bench" / "baseline_nw.cpp"
     binary = ROOT / "bench" / ".baseline_nw"
     if not binary.exists() or binary.stat().st_mtime < src.stat().st_mtime:
         subprocess.run(["g++", "-O3", "-march=native", "-o", str(binary), str(src)],
                        check=True)
-    out = subprocess.run([str(binary), str(C), str(min(R, 256)), str(N), str(M)],
+    out = subprocess.run([str(binary), str(C), str(min(R, 256)), str(n), str(m)],
                          check=True, capture_output=True, text=True).stdout
     for line in out.splitlines():
         if line.startswith("records_per_s="):
@@ -56,7 +86,7 @@ def baseline_records_per_s() -> float:
     raise RuntimeError(f"baseline produced no rate: {out!r}")
 
 
-def device_records_per_s() -> float:
+def device_records_per_s(realistic: bool = False) -> float:
     import jax
 
     from gfalign_tpu.ops.nw_path import _pallas_eligible, nw_best_scores
@@ -67,15 +97,22 @@ def device_records_per_s() -> float:
         kernel = nw_best_scores
 
     rng = np.random.default_rng(7)
+    n_s, m_s = (REAL_STRIDE, REAL_STRIDE) if realistic else (N, M)
 
     def batch():
+        if realistic:
+            a_len = _realistic_lengths(rng, C)
+            b_len = _realistic_lengths(rng, R)
+        else:
+            a_len = np.full((C,), n_s, np.int32)
+            b_len = np.full((R,), m_s, np.int32)
         return [jax.device_put(x) for x in [
-            (rng.integers(0, 8, (C, N)) * 4
-             + rng.integers(0, 2, (C, N))).astype(np.int32),
-            np.full((C,), N, np.int32),
-            (rng.integers(0, 8, (R, M)) * 4
-             + rng.integers(0, 2, (R, M))).astype(np.int32),
-            np.full((R,), M, np.int32),
+            (rng.integers(0, 8, (C, n_s)) * 4
+             + rng.integers(0, 2, (C, n_s))).astype(np.int32),
+            a_len,
+            (rng.integers(0, 8, (R, m_s)) * 4
+             + rng.integers(0, 2, (R, m_s))).astype(np.int32),
+            b_len,
         ]]
 
     # Methodology (all three are load-bearing on this transport):
@@ -107,24 +144,44 @@ def device_records_per_s() -> float:
 PIN_FILE = ROOT / "bench" / "baseline_pinned.json"
 
 
-def pinned_baseline() -> float:
-    """The C++ baseline rate, pinned on first run: re-measuring it every
-    round on this noisy shared box made vs_baseline swing 277->152 between
-    rounds with no code change (VERDICT r3 weak item 6).  The pin records
-    the box + flags; delete the file to re-pin after a hardware change."""
-    if PIN_FILE.exists():
-        return float(json.loads(PIN_FILE.read_text())["records_per_s"])
-    import platform
+def _realistic_mean() -> int:
+    ks = sorted(REALISTIC_HIST)
+    tot = sum(REALISTIC_HIST.values())
+    return max(1, round(sum(k * REALISTIC_HIST[k] for k in ks) / tot))
 
-    rate = baseline_records_per_s()
-    PIN_FILE.write_text(json.dumps({
-        "records_per_s": rate,
-        "flags": "g++ -O3 -march=native",
-        "box": platform.platform(),
-        "cpus": os.cpu_count(),
-        "shapes": {"C": C, "R": min(R, 256), "N": N, "M": M},
-    }, indent=1) + "\n")
-    return rate
+
+def pinned_baseline() -> dict:
+    """The C++ baseline rates (uniform + realistic-mean shapes), pinned on
+    first run: re-measuring every round on this noisy shared box made
+    vs_baseline swing 277->152 between rounds with no code change
+    (VERDICT r3 weak item 6).  The pin records the box + flags; delete
+    the file to re-pin after a hardware change.  The realistic baseline
+    runs the scalar NW at the fixture's MEAN lengths — exact-length
+    scalar cost is mean(n)*mean(m) in expectation, and the C++ loop pays
+    no padding, so this is the honest CPU-side counterpart of the mixed
+    device batch."""
+    pinned = json.loads(PIN_FILE.read_text()) if PIN_FILE.exists() else {}
+    changed = False
+    if "records_per_s" not in pinned:
+        import platform
+
+        pinned.update({
+            "records_per_s": baseline_records_per_s(),
+            "flags": "g++ -O3 -march=native",
+            "box": platform.platform(),
+            "cpus": os.cpu_count(),
+            "shapes": {"C": C, "R": min(R, 256), "N": N, "M": M},
+        })
+        changed = True
+    if "records_per_s_realistic" not in pinned:
+        nm = _realistic_mean()
+        pinned["records_per_s_realistic"] = baseline_records_per_s(nm, nm)
+        pinned["shapes_realistic"] = {"C": C, "R": min(R, 256),
+                                      "N": nm, "M": nm}
+        changed = True
+    if changed:
+        PIN_FILE.write_text(json.dumps(pinned, indent=1) + "\n")
+    return pinned
 
 
 def prev_round_value():
@@ -144,15 +201,25 @@ def prev_round_value():
 
 def main() -> None:
     os.chdir(ROOT)
-    base = pinned_baseline()
+    pinned = pinned_baseline()
+    base_u = float(pinned["records_per_s"])
+    base_r = float(pinned["records_per_s_realistic"])
     fresh_base = baseline_records_per_s()
-    value = device_records_per_s()
+    value_u = device_records_per_s()
+    value_r = device_records_per_s(realistic=True)
+    # headline = the realistic fixture-mix rate (includes the padding
+    # waste a real tangle search pays); the uniform 64x64 rate is kept
+    # alongside for cross-round comparability
     print(json.dumps({
         "metric": "gaf_records_evaluated_per_s_per_chip",
-        "value": round(value, 2),
+        "value": round(value_r, 2),
         "unit": "records/s",
-        "vs_baseline": round(value / base, 3),
-        "baseline_pinned": round(base, 2),
+        "vs_baseline": round(value_r / base_r, 3),
+        "workload": "realistic_fixture_mix",
+        "uniform_value": round(value_u, 2),
+        "uniform_vs_baseline": round(value_u / base_u, 3),
+        "baseline_pinned": round(base_u, 2),
+        "baseline_pinned_realistic": round(base_r, 2),
         "baseline_fresh": round(fresh_base, 2),
         "prev_value": prev_round_value(),
     }))
