@@ -28,6 +28,7 @@ from typing import Dict
 
 _MEM: Dict[str, object] = {}
 _DIR = [None]
+STATS = {"disk_hits": 0, "compiles": 0, "mem_hits": 0}
 
 
 def _cache_dir() -> pathlib.Path:
@@ -77,6 +78,7 @@ def call(name: str, jitted, args, static=()):
     key = _sig_of(name, args, static)
     compiled = _MEM.get(key)
     if compiled is not None:
+        STATS["mem_hits"] += 1
         return compiled(*args)
     path = _cache_dir() / f"{name}-{key}.jaxexec"
     if path.exists():
@@ -86,9 +88,11 @@ def call(name: str, jitted, args, static=()):
             payload = pickle.loads(path.read_bytes())
             compiled = se.deserialize_and_load(
                 payload["exe"], payload["in_tree"], payload["out_tree"])
+            STATS["disk_hits"] += 1
         except Exception:
             compiled = None  # stale/foreign entry: recompile below
     if compiled is None:
+        STATS["compiles"] += 1
         compiled = jitted.lower(*args).compile()
         try:
             from jax.experimental import serialize_executable as se

@@ -217,7 +217,11 @@ def local_forward_pallas(read_codes: np.ndarray, path_codes: np.ndarray,
     ps = np.broadcast_to(ps[:, :, None], (P, lp + 1, TILE_R)).copy()
 
     fwd = _build_forward(lr, lp, interpret)
-    out = np.asarray(fwd(jnp.asarray(rc), jnp.asarray(ps)))  # (T, P, 4, TILE_R)
+    from . import aot_cache
+
+    out = np.asarray(aot_cache.call(
+        "sa_fwd", fwd, (jnp.asarray(rc), jnp.asarray(ps)),
+        static=(lr, lp)))  # (T, P, 4, TILE_R)
     out = out.transpose(0, 3, 1, 2).reshape(T * TILE_R, P, 4)[:R]
     return out[:, :, 0], out[:, :, 1], out[:, :, 2]
 
@@ -413,8 +417,12 @@ def banded_arena_scores_pallas(arena, cum_off, base_ptr, plens, read_pool,
     path_idx[n]).  N must be a multiple of TILE_R."""
     lr = read_pool.shape[1]
     fn = _build_banded_arena(lr, width, interpret)
-    return fn(arena, cum_off, base_ptr, plens, read_pool, read_idx,
-              path_idx, deltas)
+    from . import aot_cache
+
+    return aot_cache.call(
+        "sa_banded_arena", fn,
+        (arena, cum_off, base_ptr, plens, read_pool, read_idx, path_idx,
+         deltas), static=(lr, width))
 
 
 @functools.lru_cache(maxsize=None)
@@ -469,6 +477,10 @@ def local_forward_pairs_pallas(read_codes: np.ndarray, path_codes: np.ndarray,
     ps = ps.reshape(T, TILE_R, lp + 1).transpose(0, 2, 1).copy()
 
     fwd = _build_forward_pairs(lr, lp, interpret)
-    out = np.asarray(fwd(jnp.asarray(rc), jnp.asarray(ps)))  # (T, 1, 4, TILE_R)
+    from . import aot_cache
+
+    out = np.asarray(aot_cache.call(
+        "sa_pairs", fwd, (jnp.asarray(rc), jnp.asarray(ps)),
+        static=(lr, lp)))  # (T, 1, 4, TILE_R)
     out = out.transpose(0, 3, 1, 2).reshape(T * TILE_R, 4)[:N]
     return out[:, 0], out[:, 1], out[:, 2]
