@@ -206,11 +206,12 @@ def test_dup_stats_walk_matches_mark_duplicates():
                             a.terminal_supplementary)
 
 
-def test_real_two_process_exact_dup_marking(tmp_path):
-    """Two real jax.distributed processes, qname-hash sharding: the exact
-    distributed duplicate marking must equal a single-host run INCLUDING
-    the cross-host scratch-leak quirk (singletons adjacent in global name
-    order leak into another host's duplicate group)."""
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_real_two_process_exact_dup_marking(tmp_path, nproc):
+    """Real jax.distributed processes (2 and 4), qname-hash sharding: the
+    exact distributed duplicate marking must equal a single-host run
+    INCLUDING the cross-host scratch-leak quirk (singletons adjacent in
+    global name order leak into another host's duplicate group)."""
     import os
     import random
     import socket
@@ -257,13 +258,14 @@ print(a.primary, a.secondary, a.supplementary, a.terminal_supplementary)
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
             port = str(s.getsockname()[1])
-        procs = [subprocess.Popen([_sys.executable, str(worker), str(i), "2", port],
+        procs = [subprocess.Popen([_sys.executable, str(worker), str(i),
+                                   str(nproc), port],
                                   stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                                   text=True, env=env)
-                 for i in range(2)]
-        results = [p.communicate(timeout=120) for p in procs]
+                 for i in range(nproc)]
+        results = [p.communicate(timeout=240) for p in procs]
         got = [r[0].strip().splitlines()[-1] if r[0].strip() else "" for r in results]
-        if all(p.returncode == 0 for p in procs) and got[0] == got[1] == want:
+        if all(p.returncode == 0 for p in procs) and all(g == want for g in got):
             return
         errs.append(([p.returncode for p in procs], got, want,
                      [r[1][-500:] for r in results]))
