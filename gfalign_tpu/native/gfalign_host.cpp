@@ -24,6 +24,10 @@
 
 #include <zlib.h>
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
@@ -1751,28 +1755,101 @@ void seq_banded_pairs(const int8_t* reads, const int64_t* read_off,
                       uint8_t* out_edge) {
   const int32_t W2 = width / 2;
   auto run = [&](int64_t p0, int64_t p1) {
-    std::vector<int32_t> H(static_cast<size_t>(width));
+    // +8 slack: H[width] is a `block` sentinel so the vector 'up' load at
+    // the last block needs no branch; the scalar paths never read past
+    // width.
+    std::vector<int32_t> H(static_cast<size_t>(width) + 8);
     std::vector<int32_t> C(static_cast<size_t>(width));
+#ifdef __AVX2__
+    const __m256i vgap = _mm256_set1_epi32(gap);
+    const __m256i vramp = _mm256_mullo_epi32(
+        _mm256_setr_epi32(1, 2, 3, 4, 5, 6, 7, 8), vgap);
+#endif
     for (int64_t n = p0; n < p1; n++) {
       const int8_t* rd = reads + read_off[rid[n]];
       const int64_t lr = read_len[rid[n]];
       const int8_t* pa = paths + path_off[pid[n]];
       const int64_t lp = path_len[pid[n]];
       const int32_t delta = deltas[n];
-      std::fill(H.begin(), H.end(), 0);
+      std::fill(H.begin(), H.begin() + width, 0);
+      H[width] = block;
       int32_t best = 0, bi = 0, bj = 0, bu = 0;
       for (int64_t i = 1; i <= lr; i++) {
         const int32_t r = rd[i - 1];
         const int64_t j0 = i + delta - W2;  // j at lane 0
         const bool all_in = (j0 >= 1) && (j0 + width - 1 <= lp);
         if (all_in && r < 4) {
-          // interior fast path: no boundary/pad-read branches, so every
-          // loop below auto-vectorizes.  The max-plus prefix chain
-          // (h[u] = max_{v<=u} c[v] + gap*(u-v)) is associative, so it
-          // runs as log2(width) shifted passes (x[u] = max(x[u],
-          // x[u-d] + d*gap)) instead of a serial width-long dependency —
-          // the serial chain was the row's critical path.
+          // Interior fast path.  The row's critical path is the
+          // horizontal max-plus chain (h[u] = max_{v<=u} c[v] +
+          // gap*(u-v)); a memory-based log-step doubling scan was TRIED
+          // and measured ~2x SLOWER than the fused serial loop (shifted
+          // passes don't auto-vectorize and add 9x the traffic).  The
+          // AVX2 version instead fuses everything into one left-to-right
+          // block pass: per 8-lane block, substitution + up/diag maxes
+          // are elementwise, the in-block prefix runs as 3 in-REGISTER
+          // shift-maxes (shifted-in zeros can never win: c >= 0 and
+          // gap < 0), and only the 8-lane carry (previous block's last
+          // chain value + u*gap) is serial — one scalar per 8 cells
+          // instead of one per cell.
           const int8_t* w0 = pa + (j0 - 1);
+#ifdef __AVX2__
+          const __m256i vr = _mm256_set1_epi32(r);
+          const __m256i vpad = _mm256_set1_epi32(pad_code);
+          const __m256i vmatch = _mm256_set1_epi32(match);
+          const __m256i vmis = _mm256_set1_epi32(mismatch);
+          const __m256i vblk = _mm256_set1_epi32(block);
+          const __m256i vzero = _mm256_setzero_si256();
+          int32_t chain_in = block;
+          int32_t row_best = -1, row_u = 0;
+          for (int32_t b = 0; b < width; b += 8) {
+            const __m256i w = _mm256_cvtepi8_epi32(
+                _mm_loadl_epi64(reinterpret_cast<const __m128i*>(w0 + b)));
+            __m256i s = _mm256_blendv_epi8(vmis, vmatch,
+                                           _mm256_cmpeq_epi32(w, vr));
+            s = _mm256_blendv_epi8(s, vblk, _mm256_cmpeq_epi32(w, vpad));
+            const __m256i hd = _mm256_loadu_si256(
+                reinterpret_cast<const __m256i*>(H.data() + b));
+            const __m256i hu = _mm256_loadu_si256(
+                reinterpret_cast<const __m256i*>(H.data() + b + 1));
+            __m256i c = _mm256_max_epi32(_mm256_add_epi32(hd, s),
+                                         _mm256_add_epi32(hu, vgap));
+            c = _mm256_max_epi32(c, vzero);
+            // in-block max-plus prefix: shift by 1, 2, 4 int32 lanes
+            const __m256i lo = _mm256_permute2x128_si256(c, c, 0x08);
+            __m256i t = _mm256_alignr_epi8(c, lo, 12);
+            c = _mm256_max_epi32(c, _mm256_add_epi32(t, vgap));
+            const __m256i lo2 = _mm256_permute2x128_si256(c, c, 0x08);
+            t = _mm256_alignr_epi8(c, lo2, 8);
+            c = _mm256_max_epi32(
+                c, _mm256_add_epi32(t, _mm256_slli_epi32(vgap, 1)));
+            t = _mm256_permute2x128_si256(c, c, 0x08);
+            c = _mm256_max_epi32(
+                c, _mm256_add_epi32(t, _mm256_slli_epi32(vgap, 2)));
+            // carry across blocks: chain_in + (u+1)*gap
+            c = _mm256_max_epi32(
+                c, _mm256_add_epi32(_mm256_set1_epi32(chain_in), vramp));
+            _mm256_storeu_si256(reinterpret_cast<__m256i*>(H.data() + b), c);
+            chain_in = _mm256_extract_epi32(c, 7);
+            // block max; strictly-greater update keeps the FIRST argmax
+            __m256i m = _mm256_max_epi32(
+                c, _mm256_permute2x128_si256(c, c, 0x01));
+            m = _mm256_max_epi32(m, _mm256_shuffle_epi32(m, 0x4E));
+            m = _mm256_max_epi32(m, _mm256_shuffle_epi32(m, 0xB1));
+            const int32_t bm = _mm256_extract_epi32(m, 0);
+            if (bm > row_best) {
+              const int mask = _mm256_movemask_ps(_mm256_castsi256_ps(
+                  _mm256_cmpeq_epi32(c, _mm256_set1_epi32(bm))));
+              row_best = bm;
+              row_u = b + __builtin_ctz(static_cast<unsigned>(mask));
+            }
+          }
+          if (row_best > best) {
+            best = row_best;
+            bi = static_cast<int32_t>(i);
+            bj = static_cast<int32_t>(j0 + row_u);
+            bu = row_u;
+          }
+#else
           for (int32_t u = 0; u < width; u++) {
             const int32_t win = w0[u];
             const int32_t s = (win == pad_code)
@@ -1786,9 +1863,6 @@ void seq_banded_pairs(const int8_t* reads, const int64_t* read_off,
             if (c < 0) c = 0;
             C[u] = c;
           }
-          // fused serial max-plus chain + argmax (a log-step doubling
-          // scan was TRIED here and measured ~2x slower: the shifted
-          // passes don't auto-vectorize and add 9x the memory traffic)
           int32_t chain = block;
           int32_t row_best = -1, row_u = 0;
           for (int32_t u = 0; u < width; u++) {
@@ -1805,6 +1879,7 @@ void seq_banded_pairs(const int8_t* reads, const int64_t* read_off,
             bj = static_cast<int32_t>(j0 + row_u);
             bu = row_u;
           }
+#endif
           continue;
         }
         // c[u] = max(0, diag, up), zeroed outside the path
