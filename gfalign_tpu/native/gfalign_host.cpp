@@ -2255,15 +2255,71 @@ int64_t seq_banded_traceback(const int8_t* read, int64_t lr, const int8_t* path,
   const int64_t W2 = width / 2;
   const int64_t u_end = end_j - end_i - delta + W2;
   if (u_end <= 0 || u_end >= width - 1) return -2;  // end at/off band edge
-  const size_t Wz = static_cast<size_t>(width);
+  // stride carries a permanent `block` sentinel column at [width] so the
+  // vector 'up' load of the last block never reads the NEXT row's lane 0
+  // (rows are contiguous); scalar rows use the explicit branch instead.
+  const size_t Wz = static_cast<size_t>(width) + 8;
   std::vector<int32_t> H(static_cast<size_t>(end_i + 1) * Wz, 0);
+  for (int64_t i = 0; i <= end_i; i++) H[i * Wz + width] = block;
+#ifdef __AVX2__
+  const __m256i vgap = _mm256_set1_epi32(gap);
+  const __m256i vramp = _mm256_mullo_epi32(
+      _mm256_setr_epi32(1, 2, 3, 4, 5, 6, 7, 8), vgap);
+  const __m256i vpad = _mm256_set1_epi32(pad_code);
+  const __m256i vmatch = _mm256_set1_epi32(match);
+  const __m256i vmis = _mm256_set1_epi32(mismatch);
+  const __m256i vblk = _mm256_set1_epi32(block);
+  const __m256i vzero = _mm256_setzero_si256();
+#endif
   for (int64_t i = 1; i <= end_i; i++) {
     const int32_t rc = read[i - 1];
     const int32_t* prev = H.data() + (i - 1) * Wz;
     int32_t* cur = H.data() + i * Wz;
+    const int64_t j0 = i + delta - W2;
+#ifdef __AVX2__
+    if (j0 >= 1 && j0 + width - 1 <= lp && rc < 4) {
+      // interior row: same fused AVX2 pass as seq_banded_pairs, except
+      // the chain seeds at 0 (the leading 0 of this fill's prefix scan).
+      // The in-block shifted-in zeros contribute 0 + d*gap with
+      // d >= u + 1, which the 0-seed carry (0 + (u+1)*gap) dominates —
+      // so the same kernel is exact here too.
+      const int8_t* w0 = path + (j0 - 1);
+      const __m256i vr = _mm256_set1_epi32(rc);
+      int32_t chain_in = 0;
+      for (int32_t b = 0; b < width; b += 8) {
+        const __m256i w = _mm256_cvtepi8_epi32(
+            _mm_loadl_epi64(reinterpret_cast<const __m128i*>(w0 + b)));
+        __m256i s = _mm256_blendv_epi8(vmis, vmatch,
+                                       _mm256_cmpeq_epi32(w, vr));
+        s = _mm256_blendv_epi8(s, vblk, _mm256_cmpeq_epi32(w, vpad));
+        const __m256i hd = _mm256_loadu_si256(
+            reinterpret_cast<const __m256i*>(prev + b));
+        const __m256i hu = _mm256_loadu_si256(
+            reinterpret_cast<const __m256i*>(prev + b + 1));
+        __m256i c = _mm256_max_epi32(_mm256_add_epi32(hd, s),
+                                     _mm256_add_epi32(hu, vgap));
+        c = _mm256_max_epi32(c, vzero);
+        const __m256i lo = _mm256_permute2x128_si256(c, c, 0x08);
+        __m256i t = _mm256_alignr_epi8(c, lo, 12);
+        c = _mm256_max_epi32(c, _mm256_add_epi32(t, vgap));
+        const __m256i lo2 = _mm256_permute2x128_si256(c, c, 0x08);
+        t = _mm256_alignr_epi8(c, lo2, 8);
+        c = _mm256_max_epi32(
+            c, _mm256_add_epi32(t, _mm256_slli_epi32(vgap, 1)));
+        t = _mm256_permute2x128_si256(c, c, 0x08);
+        c = _mm256_max_epi32(
+            c, _mm256_add_epi32(t, _mm256_slli_epi32(vgap, 2)));
+        c = _mm256_max_epi32(
+            c, _mm256_add_epi32(_mm256_set1_epi32(chain_in), vramp));
+        _mm256_storeu_si256(reinterpret_cast<__m256i*>(cur + b), c);
+        chain_in = _mm256_extract_epi32(c, 7);
+      }
+      continue;
+    }
+#endif
     int32_t left = 0;  // chain seed: leading 0 of the prefix scan
     for (int64_t u = 0; u < width; u++) {
-      const int64_t j = i + delta - W2 + u;
+      const int64_t j = j0 + u;
       if (j < 1 || j > lp) {
         cur[u] = 0;
         left = 0;

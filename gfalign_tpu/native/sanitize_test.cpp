@@ -120,6 +120,26 @@ static void test_threaded_banded_pairs() {
   }
 }
 
+static void test_banded_traceback() {
+  // identical read/path: the banded optimum is the pure diagonal, so the
+  // end-cell value is known and the walk is all matches — exercises the
+  // vectorized fill + the walk under the sanitizers
+  std::mt19937 rng(17);
+  const int64_t L = 300;
+  std::vector<int8_t> seq(L + 50);
+  for (auto& c : seq) c = static_cast<int8_t>(rng() % 4);
+  int32_t out5[5];
+  std::vector<char> ops(2 * (L + 50));
+  int64_t n = seq_banded_traceback(seq.data(), L + 50, seq.data(), L + 50,
+                                   L, L, 0, 64, static_cast<int32_t>(L),
+                                   1, -2, -3, 5, -1000, out5, ops.data(),
+                                   static_cast<int64_t>(ops.size()));
+  CHECK(n == L);
+  CHECK(out5[0] == L && out5[1] == 0 && out5[2] == 0 && out5[3] == L &&
+        out5[4] == 0);
+  for (int64_t i = 0; i < n; i++) CHECK(ops[i] == '=');
+}
+
 static void test_threaded_frontier_eval() {
   std::mt19937 rng(13);
   const int64_t C = 64, n = 16, R = 32, m = 12;
@@ -190,6 +210,7 @@ int main() {
   test_fastx_parse();
   test_threaded_kmer_build();
   test_threaded_banded_pairs();
+  test_banded_traceback();
   test_threaded_frontier_eval();
   test_ring_protocol();
   if (g_failures) {

@@ -442,13 +442,16 @@ def _matrix(read: np.ndarray, path: np.ndarray) -> np.ndarray:
 
 
 def _runs(ops) -> List[Tuple[int, str]]:
-    cigar: List[Tuple[int, str]] = []
-    for op in ops:
-        if cigar and cigar[-1][1] == op:
-            cigar[-1] = (cigar[-1][0] + 1, op)
-        else:
-            cigar.append((1, op))
-    return cigar
+    """Run-length encode an op sequence (str from the native traceback,
+    list of chars from the python oracle).  Vectorized: the char loop was
+    ~0.7 ms per placement at 8 kb read scale."""
+    if not ops:
+        return []
+    s = ops if isinstance(ops, str) else "".join(ops)
+    a = np.frombuffer(s.encode(), np.uint8)
+    starts = np.flatnonzero(np.concatenate([[True], a[1:] != a[:-1]]))
+    counts = np.diff(np.concatenate([starts, [len(a)]]))
+    return [(int(c), chr(a[i])) for c, i in zip(counts, starts)]
 
 
 def traceback(read: np.ndarray, path: np.ndarray,
