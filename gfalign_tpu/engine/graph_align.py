@@ -234,6 +234,31 @@ def build_oriented_codes(graph: Graph, steps: List[Tuple[int, str]],
                         n_bases=len(codes)), codes
 
 
+def build_oriented_struct(graph: Graph, steps: List[Tuple[int, str]],
+                          overlaps_lut) -> OrientedPath:
+    """build_oriented_codes' OrientedPath WITHOUT materializing the code
+    array: offsets/seg_lens/n_bases come from segment LENGTHS alone
+    (identical arithmetic, incl. the clamped n_bases).  Candidate
+    generation only needs the structure (chain ranking, deltas); codes
+    are built lazily at scoring time — most chain-tail candidates are
+    never scored, and their concatenations were ~15% of align time."""
+    offsets: List[int] = []
+    seg_lens: List[int] = []
+    pos = 0
+    clamped = 0
+    prev = None
+    for sid, orientation in steps:
+        seg = graph.segment(sid)
+        n = len(seg.seq) if seg.seq else (seg.length or 0)
+        drop = overlaps_lut.get(prev + (sid, orientation), 0) if prev else 0
+        offsets.append(pos - drop)
+        seg_lens.append(n)
+        pos += n - drop
+        clamped += max(0, n - drop)
+        prev = (sid, orientation)
+    return OrientedPath(steps, "", offsets, seg_lens, n_bases=clamped)
+
+
 def enumerate_paths(graph: Graph, max_paths: int = 4096,
                     max_depth: Optional[int] = None,
                     audit: Optional[CapAudit] = None) -> List[OrientedPath]:
@@ -671,6 +696,24 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
     seg_codes = _SegCodes(graph)
     path_cache: Dict[tuple, OrientedPath] = {}
     code_cache: Dict[tuple, np.ndarray] = {}
+
+    def codes_of(key: tuple) -> np.ndarray:
+        """Materialize (and cache) a candidate's concatenated code array —
+        byte-identical to build_oriented_codes' output; deferred to
+        scoring time because chain-tail candidates usually never score."""
+        codes = code_cache.get(key)
+        if codes is None:
+            parts: List[np.ndarray] = []
+            prev = None
+            for sid, orientation in key:
+                c = seg_codes[(sid, orientation)]
+                drop = lut.get(prev + (sid, orientation), 0) if prev else 0
+                parts.append(c[drop:])
+                prev = (sid, orientation)
+            codes = (np.concatenate(parts) if parts
+                     else np.empty(0, np.int8))
+            code_cache[key] = codes
+        return codes
     cand_deltas: Dict[Tuple[int, tuple], int] = {}  # (read, key) -> diagonal
     cand_chain: Dict[Tuple[int, tuple], int] = {}   # (read, key) -> colinear
     # anchor-vote support (the candidate ranking key for top-k scoring)
@@ -693,10 +736,8 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
                     continue
                 seen.add(key)
                 if key not in path_cache:
-                    op, codes = build_oriented_codes(graph, steps, lut,
-                                                     seg_codes)
-                    path_cache[key] = op
-                    code_cache[key] = codes
+                    path_cache[key] = build_oriented_struct(graph, steps,
+                                                            lut)
                 # expected alignment diagonal: anchor segment's offset in
                 # this path + the anchor's in-segment diagonal vote — the
                 # banded scorer centers its band here
@@ -757,14 +798,14 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
             # remote-compile transports pay ~30-60s per kernel shape; waste
             # device FLOPs on one fat bucket instead of compiling many
             g_lr = pad_pow2(max(len(work[r]) for r, _ in pairs), floor=16)
-            g_lp = pad_pow2(max(len(code_cache[k]) for _, k in pairs), floor=16)
+            g_lp = pad_pow2(max(len(path_cache[k]) for _, k in pairs), floor=16)
         buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
         for n, (r, key) in enumerate(pairs):
             if one_bucket:
                 lr_b, lp_b = g_lr, g_lp
             else:
                 lr_b = pad_pow2(len(work[r]), floor=16)
-                lp_b = pad_pow2(len(code_cache[key]), floor=16)
+                lp_b = pad_pow2(len(path_cache[key]), floor=16)
             buckets[(lr_b, lp_b)].append(n)
         results = {} if results is None else results
         for (lr_b, lp_b), idxs in buckets.items():
@@ -778,7 +819,8 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
             for slot, n in enumerate(chunk):
                 r, key = pairs[n]
                 rc[slot, :len(work[r])] = work[r]
-                pc[slot, :len(code_cache[key])] = code_cache[key]
+                pcodes = codes_of(key)
+                pc[slot, :len(pcodes)] = pcodes
             best, bi, bj = seqalign.batched_pair_scores(rc, pc)
             for slot, n in enumerate(chunk):
                 # 0: scored by the full DP -> traceback must be full too
@@ -803,7 +845,7 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
         for _, key in pairs:
             if key not in ukeys:
                 ukeys[key] = len(ukeys)
-        parts = [code_cache[k] for k in ukeys]
+        parts = [codes_of(k) for k in ukeys]
         path_blob = (np.concatenate(parts) if parts
                      else np.zeros(1, np.int8))
         path_len = np.fromiter(map(len, parts), np.int64, count=len(parts))
@@ -971,7 +1013,7 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
             # only band-EDGE survivors ride further: their optimum may
             # genuinely continue outside the band
             lr_b = pad_pow2(max(len(work[pairs[n][0]]) for n in redo), floor=16)
-            lp_b = pad_pow2(max(len(code_cache[pairs[n][1]]) for n in redo),
+            lp_b = pad_pow2(max(len(path_cache[pairs[n][1]]) for n in redo),
                             floor=16)
             if lr_b * lp_b <= 4096 * 8192:
                 sub = score_pairs_full([pairs[n] for n in redo])
@@ -1057,9 +1099,9 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
                     delta = cand_deltas.get((r, key))
                     if delta is not None:
                         pl = seqalign.banded_traceback(
-                            rcodes, code_cache[key], bi, bj, delta, banded, v)
+                            rcodes, codes_of(key), bi, bj, delta, banded, v)
                 if pl is None:
-                    pl = seqalign.traceback(rcodes, code_cache[key], bi, bj)
+                    pl = seqalign.traceback(rcodes, codes_of(key), bi, bj)
                 if pl.score < min_score:
                     continue
                 shadowed = [h for (a, b), h in zip(accepted[r], all_hits[r])
