@@ -1736,6 +1736,149 @@ int32_t search_native(
 
 void search_free(char* p) { std::free(p); }
 
+#ifdef __AVX2__
+// int16 single-pair banded scorer: 16 lanes per vector instead of 8.
+// Safe when lr < 30000 (match = +1 bounds every H cell by lr; the most
+// negative intermediate is block + 16*gap ≈ -1050) — the caller guards.
+// Semantics identical to the int32 path below (same recurrences, chain
+// seeds, first-argmax tie-breaks, band-edge flag).
+static void banded_pair_i16(const int8_t* rd, int64_t lr, const int8_t* pa,
+                            int64_t lp, int32_t delta, int32_t width,
+                            int32_t match, int32_t mismatch, int32_t gap,
+                            int32_t pad_code, int32_t block,
+                            std::vector<int16_t>& H, int32_t* out_best,
+                            int32_t* out_bi, int32_t* out_bj,
+                            uint8_t* out_edge) {
+  const int32_t W2 = width / 2;
+  if (static_cast<int64_t>(H.size()) < width + 16) H.resize(width + 16);
+  std::fill(H.begin(), H.begin() + width, static_cast<int16_t>(0));
+  H[width] = static_cast<int16_t>(block);
+  const __m256i vgap = _mm256_set1_epi16(static_cast<int16_t>(gap));
+  const __m256i vramp = _mm256_mullo_epi16(
+      _mm256_setr_epi16(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+                        16),
+      vgap);
+  const __m256i vpad = _mm256_set1_epi16(static_cast<int16_t>(pad_code));
+  const __m256i vmatch = _mm256_set1_epi16(static_cast<int16_t>(match));
+  const __m256i vmis = _mm256_set1_epi16(static_cast<int16_t>(mismatch));
+  const __m256i vblk = _mm256_set1_epi16(static_cast<int16_t>(block));
+  const __m256i vzero = _mm256_setzero_si256();
+  int32_t best = 0, bi = 0, bj = 0, bu = 0;
+  for (int64_t i = 1; i <= lr; i++) {
+    const int32_t r = rd[i - 1];
+    const int64_t j0 = i + delta - W2;
+    const bool all_in = (j0 >= 1) && (j0 + width - 1 <= lp);
+    if (all_in && r < 4 && width >= 16) {
+      const int8_t* w0 = pa + (j0 - 1);
+      const __m256i vr = _mm256_set1_epi16(static_cast<int16_t>(r));
+      int32_t chain_in = block;
+      int32_t row_best = -1, row_u = 0;
+      for (int32_t b = 0; b < width; b += 16) {
+        const __m256i w = _mm256_cvtepi8_epi16(_mm_loadu_si128(
+            reinterpret_cast<const __m128i*>(w0 + b)));
+        __m256i s = _mm256_blendv_epi8(vmis, vmatch,
+                                       _mm256_cmpeq_epi16(w, vr));
+        s = _mm256_blendv_epi8(s, vblk, _mm256_cmpeq_epi16(w, vpad));
+        const __m256i hd = _mm256_loadu_si256(
+            reinterpret_cast<const __m256i*>(H.data() + b));
+        const __m256i hu = _mm256_loadu_si256(
+            reinterpret_cast<const __m256i*>(H.data() + b + 1));
+        __m256i c = _mm256_max_epi16(_mm256_add_epi16(hd, s),
+                                     _mm256_add_epi16(hu, vgap));
+        c = _mm256_max_epi16(c, vzero);
+        // in-block max-plus prefix: shift by 1, 2, 4, 8 int16 lanes
+        __m256i lo = _mm256_permute2x128_si256(c, c, 0x08);
+        __m256i t = _mm256_alignr_epi8(c, lo, 14);
+        c = _mm256_max_epi16(c, _mm256_add_epi16(t, vgap));
+        lo = _mm256_permute2x128_si256(c, c, 0x08);
+        t = _mm256_alignr_epi8(c, lo, 12);
+        c = _mm256_max_epi16(
+            c, _mm256_add_epi16(t, _mm256_slli_epi16(vgap, 1)));
+        lo = _mm256_permute2x128_si256(c, c, 0x08);
+        t = _mm256_alignr_epi8(c, lo, 8);
+        c = _mm256_max_epi16(
+            c, _mm256_add_epi16(t, _mm256_slli_epi16(vgap, 2)));
+        t = _mm256_permute2x128_si256(c, c, 0x08);
+        c = _mm256_max_epi16(
+            c, _mm256_add_epi16(t, _mm256_slli_epi16(vgap, 3)));
+        c = _mm256_max_epi16(
+            c, _mm256_add_epi16(
+                   _mm256_set1_epi16(static_cast<int16_t>(chain_in)),
+                   vramp));
+        _mm256_storeu_si256(reinterpret_cast<__m256i*>(H.data() + b), c);
+        chain_in = static_cast<int16_t>(_mm256_extract_epi16(c, 15));
+        __m256i m = _mm256_max_epi16(
+            c, _mm256_permute2x128_si256(c, c, 0x01));
+        m = _mm256_max_epi16(m, _mm256_shuffle_epi32(m, 0x4E));
+        m = _mm256_max_epi16(m, _mm256_shuffle_epi32(m, 0xB1));
+        m = _mm256_max_epi16(m, _mm256_shufflelo_epi16(m, 0xB1));
+        const int32_t bm = static_cast<int16_t>(_mm256_extract_epi16(m, 0));
+        if (bm > row_best) {
+          const unsigned mask = static_cast<unsigned>(_mm256_movemask_epi8(
+              _mm256_cmpeq_epi16(c, _mm256_set1_epi16(
+                                        static_cast<int16_t>(bm)))));
+          row_best = bm;
+          row_u = b + static_cast<int32_t>(__builtin_ctz(mask) / 2);
+        }
+      }
+      if (row_best > best) {
+        best = row_best;
+        bi = static_cast<int32_t>(i);
+        bj = static_cast<int32_t>(j0 + row_u);
+        bu = row_u;
+      }
+      continue;
+    }
+    // boundary / N-read rows: scalar, in place over the int16 buffer
+    // (cur[u] needs only prev[u] and prev[u+1], both still unwritten
+    // when u ascends).  Out-of-range j is always a PREFIX or SUFFIX of
+    // the band (j is monotone in u), so resetting the chain to 0 there
+    // equals the int32 path's max(chain+gap, 0) continuation.
+    int32_t chain = block;
+    int32_t row_best = -1, row_u = 0;
+    for (int32_t u = 0; u < width; u++) {
+      const int64_t j = j0 + u;
+      const int32_t prev_u = H[u];
+      const int32_t prev_u1 = (u + 1 < width) ? H[u + 1] : block;
+      int32_t c;
+      if (j < 1 || j > lp) {
+        c = 0;
+        chain = 0;
+        H[u] = 0;
+        if (c > row_best) { row_best = c; row_u = u; }
+        continue;
+      }
+      const int32_t win = pa[j - 1];
+      const int32_t s = (r == pad_code || win == pad_code)
+                            ? block
+                            : ((r < 4 && win < 4 && r == win) ? match
+                                                              : mismatch);
+      c = prev_u + s;
+      const int32_t up = prev_u1 + gap;
+      if (up > c) c = up;
+      if (c < 0) c = 0;
+      const int32_t chained = chain + gap;
+      int32_t h = chained > c ? chained : c;
+      if (j < 1 || j > lp) h = 0;
+      H[u] = static_cast<int16_t>(h);
+      chain = h;
+      if (h > row_best) { row_best = h; row_u = u; }
+    }
+    if (row_best > best) {
+      best = row_best;
+      bi = static_cast<int32_t>(i);
+      bj = static_cast<int32_t>(j0 + row_u);
+      bu = row_u;
+    }
+  }
+  const bool ok = best > 0;
+  *out_best = ok ? best : 0;
+  *out_bi = ok ? bi : 0;
+  *out_bj = ok ? bj : 0;
+  *out_edge = (ok && (bu <= 0 || bu >= width - 1)) ? 1 : 0;
+}
+#endif  // __AVX2__
+
 // Banded local (read, path) scoring batch — the HOST engine for align
 // mode's scoring ladder.  Bit-exact with ops/seqalign._banded_forward
 // (XLA) / the Pallas kernel: same strip indexing, 0-floored local cells,
@@ -1761,6 +1904,7 @@ void seq_banded_pairs(const int8_t* reads, const int64_t* read_off,
     std::vector<int32_t> H(static_cast<size_t>(width) + 8);
     std::vector<int32_t> C(static_cast<size_t>(width));
 #ifdef __AVX2__
+    std::vector<int16_t> H16;
     const __m256i vgap = _mm256_set1_epi32(gap);
     const __m256i vramp = _mm256_mullo_epi32(
         _mm256_setr_epi32(1, 2, 3, 4, 5, 6, 7, 8), vgap);
@@ -1771,6 +1915,19 @@ void seq_banded_pairs(const int8_t* reads, const int64_t* read_off,
       const int8_t* pa = paths + path_off[pid[n]];
       const int64_t lp = path_len[pid[n]];
       const int32_t delta = deltas[n];
+#ifdef __AVX2__
+      // 16-lane int16 variant when every score provably fits (H cells
+      // bounded above by lr*match, below by ~block + width*gap) and the
+      // band is whole 16-lane blocks (widths are multiples of 8 by
+      // contract; odd-16 widths take the int32 8-lane path)
+      if (width % 16 == 0 && lr * (match > 0 ? match : 1) < 30000 &&
+          block > -30000) {
+        banded_pair_i16(rd, lr, pa, lp, delta, width, match, mismatch,
+                        gap, pad_code, block, H16, out_best + n,
+                        out_bi + n, out_bj + n, out_edge + n);
+        continue;
+      }
+#endif
       std::fill(H.begin(), H.begin() + width, 0);
       H[width] = block;
       int32_t best = 0, bi = 0, bj = 0, bu = 0;
