@@ -414,11 +414,12 @@ if pid == 0:
     assert outs[0][0] == want.getvalue()
 
 
-def test_real_two_process_align(tmp_path):
-    """Distributed align mode: two real jax.distributed processes align
-    read-index shards; rank 0's gathered GAF must be byte-identical to the
-    single-process run (reads are independent — the gather reassembles
-    exact input order)."""
+@pytest.mark.parametrize("nproc", [2, 3])
+def test_real_two_process_align(tmp_path, nproc):
+    """Distributed align mode: real jax.distributed processes (2, and 3
+    for uneven round-robin shards) align read-index shards; rank 0's
+    gathered GAF must be byte-identical to the single-process run (reads
+    are independent — the gather reassembles exact input order)."""
     import os
     import socket
     import subprocess
@@ -462,9 +463,9 @@ main(["align", "-f", {paths["gfa"]!r}, "-r", {paths["reads"]!r},
             s.bind(("127.0.0.1", 0))
             port = str(s.getsockname()[1])
         procs = [subprocess.Popen(
-            [_sys.executable, str(worker), str(i), "2", port],
+            [_sys.executable, str(worker), str(i), str(nproc), port],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=env) for i in range(2)]
+            env=env) for i in range(nproc)]
         outs = [p.communicate(timeout=300) for p in procs]
         if all(p.returncode == 0 for p in procs):
             break
