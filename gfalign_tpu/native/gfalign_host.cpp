@@ -892,6 +892,161 @@ static int32_t nw_walk_score(const int32_t* a, int64_t n, const int32_t* b,
   return score;
 }
 
+#ifdef __AVX2__
+// int16 AVX2 variant of nw_walk_score: |dp| <= max(n,m)*max(|match|,
+// |mismatch|,|gap|); the prefix stages shift in -16384, which must sit
+// strictly below every reachable dp value, so the caller guards
+// max(n,m)*score_mag < 16000 AND m_pad <= the key-row stride (the
+// vector key loads read up to 15 lanes past m).  The
+// row fill vectorizes 16 j-lanes at a time: key equality is computed in
+// two int32 compares packed to int16 (step keys exceed int16), the
+// free-trailing-column quirk ((j < m ? gap : 0) on the 'up' move) is a
+// precomputed per-j int16 vector, and the horizontal cur[j-1]+gap
+// dependency is the same in-register max-plus prefix as the banded
+// ladder.  Row-0 extent (j*gap only up to j <= n — the reference's
+// quirk) and the traceback-recomputed score walk are identical to the
+// scalar version.
+static int32_t nw_walk_score16(const int32_t* a, int64_t n, const int32_t* b,
+                               int64_t m, int32_t match, int32_t mismatch,
+                               int32_t gap,
+                               std::vector<int16_t>& dp_scratch,
+                               std::vector<int16_t>& upgap_scratch) {
+  const int64_t W = (n > m ? n : m) + 1;
+  const int64_t m_pad = ((m + 15) / 16) * 16;
+  // + 16 slack per row start so unaligned block loads stay in range
+  dp_scratch.assign(static_cast<size_t>(n + 1) * (W + 16), 0);
+  int16_t* dp = dp_scratch.data();
+  const int64_t Wz = W + 16;
+  for (int64_t j = 0; j <= n; j++)  // row-0 extent runs over n (quirk)
+    dp[j] = static_cast<int16_t>(j * gap);
+  upgap_scratch.assign(static_cast<size_t>(m_pad), 0);
+  for (int64_t j = 1; j <= m; j++)
+    upgap_scratch[j - 1] = static_cast<int16_t>(j < m ? gap : 0);
+  const __m256i vgap = _mm256_set1_epi16(static_cast<int16_t>(gap));
+  const __m256i vramp = _mm256_mullo_epi16(
+      _mm256_setr_epi16(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+                        16),
+      vgap);
+  const __m256i vmatch16 = _mm256_set1_epi16(static_cast<int16_t>(match));
+  const __m256i vmis16 = _mm256_set1_epi16(static_cast<int16_t>(mismatch));
+  for (int64_t i = 1; i <= n; i++) {
+    const __m256i vak = _mm256_set1_epi32(a[i - 1]);
+    const int16_t* prev = dp + (i - 1) * Wz;
+    int16_t* cur = dp + i * Wz;
+    cur[0] = 0;
+    int32_t carry = 0;  // cur[j0 - 1]
+    for (int64_t j0 = 1; j0 <= m; j0 += 16) {
+      // key equality in int32, packed to a 16-lane int16 mask
+      const __m256i k0 = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(b + (j0 - 1)));
+      const __m256i k1 = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(b + (j0 - 1) + 8));
+      const __m256i eq = _mm256_permute4x64_epi64(
+          _mm256_packs_epi32(_mm256_cmpeq_epi32(k0, vak),
+                             _mm256_cmpeq_epi32(k1, vak)),
+          0xD8);
+      const __m256i s = _mm256_blendv_epi8(vmis16, vmatch16, eq);
+      const __m256i pd = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(prev + (j0 - 1)));
+      const __m256i pu = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(prev + j0));
+      const __m256i ug = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(upgap_scratch.data() + (j0 - 1)));
+      __m256i c = _mm256_max_epi16(_mm256_add_epi16(pd, s),
+                                   _mm256_add_epi16(pu, ug));
+      // in-register max-plus prefix over cur[j-1] + gap; shifted-in
+      // zeros can NOT be ignored here (dp may exceed 0), so shift in
+      // -32768/2 instead via a saturating trick: shift in the carry
+      // lane from the left explicitly at every stage using alignr with
+      // a MIN-filled low half.
+      const __m256i vmin = _mm256_set1_epi16(-16384);
+      __m256i lo = _mm256_permute2x128_si256(c, vmin, 0x03);
+      // lo = [vmin_high, c_low]: alignr picks the tail of vmin (=-16384)
+      __m256i t = _mm256_alignr_epi8(c, lo, 14);
+      c = _mm256_max_epi16(c, _mm256_add_epi16(t, vgap));
+      lo = _mm256_permute2x128_si256(c, vmin, 0x03);
+      t = _mm256_alignr_epi8(c, lo, 12);
+      c = _mm256_max_epi16(
+          c, _mm256_add_epi16(t, _mm256_slli_epi16(vgap, 1)));
+      lo = _mm256_permute2x128_si256(c, vmin, 0x03);
+      t = _mm256_alignr_epi8(c, lo, 8);
+      c = _mm256_max_epi16(
+          c, _mm256_add_epi16(t, _mm256_slli_epi16(vgap, 2)));
+      t = _mm256_permute2x128_si256(c, vmin, 0x03);  // shift by 8 lanes
+      c = _mm256_max_epi16(
+          c, _mm256_add_epi16(t, _mm256_slli_epi16(vgap, 3)));
+      c = _mm256_max_epi16(
+          c, _mm256_add_epi16(_mm256_set1_epi16(static_cast<int16_t>(carry)),
+                              vramp));
+      _mm256_storeu_si256(reinterpret_cast<__m256i*>(cur + j0), c);
+      carry = static_cast<int16_t>(_mm256_extract_epi16(c, 15));
+    }
+    // re-fix the tail beyond m that the last block overwrote (walk only
+    // reads j <= m, but keep the buffer tidy for the next row's loads)
+    for (int64_t j = m + 1; j < m_pad + 1 && j < Wz; j++) cur[j] = 0;
+  }
+  // traceback walk — identical to the int32 version
+  int64_t ii = n, jj = m, sblen = 0;
+  int32_t score = 0;
+  while (ii != 0 || jj != 0) {
+    if (ii == 0) {
+      jj--;
+    } else if (jj == 0) {
+      ii--;
+    } else {
+      const int32_t s = (a[ii - 1] == b[jj - 1]) ? match : mismatch;
+      if (dp[ii * Wz + jj] == dp[(ii - 1) * Wz + (jj - 1)] + s) {
+        score += s; sblen++; ii--; jj--;
+      } else if (dp[(ii - 1) * Wz + jj] >= dp[ii * Wz + (jj - 1)]) {
+        ii--;
+        if (sblen > 0) score -= 1;
+      } else {
+        score -= 1; sblen++; jj--;
+      }
+    }
+  }
+  return score;
+}
+#endif  // __AVX2__
+
+#ifdef __AVX2__
+struct NwScratch16 {
+  std::vector<int16_t> dp, upgap;
+};
+#endif
+
+// dispatch: int16 16-lane fill when values provably fit and the key row
+// has headroom for the vector loads; exact int32 scalar otherwise
+static inline int32_t nw_walk_dispatch(const int32_t* a, int64_t n,
+                                       const int32_t* b, int64_t m,
+                                       int64_t m_stride, int32_t match,
+                                       int32_t mismatch, int32_t gap,
+                                       std::vector<int32_t>& s32
+#ifdef __AVX2__
+                                       ,
+                                       NwScratch16& s16
+#endif
+) {
+#ifdef __AVX2__
+  int32_t mag = match < 0 ? -match : match;
+  const int32_t m2 = mismatch < 0 ? -mismatch : mismatch;
+  const int32_t m3 = gap < 0 ? -gap : gap;
+  if (m2 > mag) mag = m2;
+  if (m3 > mag) mag = m3;
+  if (mag < 1) mag = 1;
+  const int64_t nm = n > m ? n : m;
+  const int64_t m_pad = ((m + 15) / 16) * 16;
+  // m >= 32: at tangle-typical m ~ 5-12 the per-call scratch/zeroing
+  // overhead outweighs the 16-lane fill (measured: search eval 1.52 s
+  // -> 2.39 s with an unconditional dispatch); long read paths win
+  if (m >= 32 && nm * mag < 16000 && m_pad <= m_stride)
+    return nw_walk_score16(a, n, b, m, match, mismatch, gap, s16.dp,
+                           s16.upgap);
+#endif
+  return nw_walk_score(a, n, b, m, match, mismatch, gap, s32);
+}
+
+
 static unsigned allowed_cpus() {
 #ifdef __linux__
   cpu_set_t set;
@@ -936,23 +1091,31 @@ void nw_best_scores_batch(const int32_t* a_keys, const int32_t* a_len,
   }
   auto run = [&](int64_t c0, int64_t c1) {
     std::vector<int32_t> scratch;
+#ifdef __AVX2__
+    NwScratch16 s16;
+#define NW_WALK(a_, n_, b_, m_) \
+  nw_walk_dispatch(a_, n_, b_, m_, m_stride, match, mismatch, gap, scratch, \
+                   s16)
+#else
+#define NW_WALK(a_, n_, b_, m_) \
+  nw_walk_dispatch(a_, n_, b_, m_, m_stride, match, mismatch, gap, scratch)
+#endif
     for (int64_t c = c0; c < c1; c++) {
       const int32_t* a = a_keys + c * n_stride;
       const int64_t n = a_len[c];
       int32_t* orow = out + c * R;
       for (int64_t r = 0; r < R; r++) {
         const int64_t m = b_len[r];
-        const int32_t fw = nw_walk_score(a, n, b_keys + r * m_stride, m,
-                                         match, mismatch, gap, scratch);
+        const int32_t fw = NW_WALK(a, n, b_keys + r * m_stride, m);
         if (!with_rc) {
           orow[r] = fw;
           continue;
         }
-        const int32_t rv = nw_walk_score(a, n, rc.data() + r * m_stride, m,
-                                         match, mismatch, gap, scratch);
+        const int32_t rv = NW_WALK(a, n, rc.data() + r * m_stride, m);
         orow[r] = fw > rv ? fw : rv;
       }
     }
+#undef NW_WALK
   };
   unsigned hw = g_max_threads > 0 ? static_cast<unsigned>(g_max_threads)
                                   : allowed_cpus();
@@ -1006,6 +1169,9 @@ void nw_evaluate_frontier(const int32_t* a_keys, const int32_t* a_len,
   auto run = [&](int64_t c0, int64_t c1) {
     std::vector<int32_t> scratch;
     std::vector<int32_t> ids;
+#ifdef __AVX2__
+    NwScratch16 s16;
+#endif
     for (int64_t c = c0; c < c1; c++) {
       const int32_t* a = a_keys + c * n_stride;
       const int64_t n = a_len[c];
@@ -1037,10 +1203,18 @@ void nw_evaluate_frontier(const int32_t* a_keys, const int32_t* a_len,
             continue;
           }
         }
+#ifdef __AVX2__
+        const int32_t fw = nw_walk_dispatch(a, n, b, m, m_stride, match,
+                                            mismatch, gap, scratch, s16);
+        const int32_t rv =
+            nw_walk_dispatch(a, n, rc.data() + r * m_stride, m, m_stride,
+                             match, mismatch, gap, scratch, s16);
+#else
         const int32_t fw = nw_walk_score(a, n, b, m, match, mismatch, gap,
                                          scratch);
         const int32_t rv = nw_walk_score(a, n, rc.data() + r * m_stride, m,
                                          match, mismatch, gap, scratch);
+#endif
         const int32_t best = fw > rv ? fw : rv;
         if (best < 0) bad++; else good++;
       }
@@ -1231,6 +1405,12 @@ struct Driver {
   std::vector<int32_t> visit_cnt;              // per-sid counters + undo
   std::vector<int32_t> touched;
   std::vector<int32_t> dp_scratch_i32;
+#ifdef __AVX2__
+  NwScratch16 nw16_scratch;
+#endif
+  std::vector<int32_t> akeys_scratch;
+  std::vector<int32_t> ids_scratch;
+  std::vector<uint8_t> member_scratch;  // per-segment candidate membership
   std::string out;
 
   void ensure_pid(int64_t pid_) {
@@ -1357,17 +1537,22 @@ struct Driver {
     } acc{t0};
     materialize(p);
     const int64_t n = static_cast<int64_t>(steps_sid.size());
-    std::vector<int32_t> akeys(n);
+    akeys_scratch.assign(static_cast<size_t>(n), 0);
+    int32_t* akeys = akeys_scratch.data();
     for (int64_t i = 0; i < n; i++)
       akeys[i] = (steps_sid[i] << 2) | steps_orc[i];
-    // unique candidate ids
-    std::vector<int32_t> ids;
+    // candidate segment membership bitmap: O(1) per read step instead of
+    // an O(#unique-ids) scan (eval_one runs per candidate x every read —
+    // the search driver's hottest region)
+    if (member_scratch.size() < static_cast<size_t>(n_segments))
+      member_scratch.assign(static_cast<size_t>(n_segments), 0);
+    ids_scratch.clear();
     for (int64_t i = 0; i < n; i++) {
       const int32_t id = steps_sid[i];
-      bool seen = false;
-      for (int32_t v : ids)
-        if (v == id) { seen = true; break; }
-      if (!seen) ids.push_back(id);
+      if (!member_scratch[id]) {
+        member_scratch[id] = 1;
+        ids_scratch.push_back(id);
+      }
     }
     int64_t nb = 0, ng = 0, nu = 0;
     for (int64_t r = 0; r < R; r++) {
@@ -1376,23 +1561,30 @@ struct Driver {
       int64_t off = 0;
       for (int64_t j = 0; j < m; j++) {
         const int32_t id = b[j] >> 2;
-        bool member = false;
-        for (int32_t v : ids)
-          if (v == id) { member = true; break; }
-        if (!member) off++;
+        if (id >= n_segments || !member_scratch[id]) off++;
       }
       if (off) {
         nu += off;
         continue;
       }
-      const int32_t fw = nw_walk_score(akeys.data(), n, b, m, match,
+#ifdef __AVX2__
+      const int32_t fw = nw_walk_dispatch(akeys, n, b, m, m_stride, match,
+                                          mismatch, gap, dp_scratch_i32,
+                                          nw16_scratch);
+      const int32_t rv = nw_walk_dispatch(
+          akeys, n, rc_keys.data() + r * m_stride, m, m_stride, match,
+          mismatch, gap, dp_scratch_i32, nw16_scratch);
+#else
+      const int32_t fw = nw_walk_score(akeys, n, b, m, match,
                                        mismatch, gap, dp_scratch_i32);
-      const int32_t rv = nw_walk_score(akeys.data(), n,
+      const int32_t rv = nw_walk_score(akeys, n,
                                        rc_keys.data() + r * m_stride, m,
                                        match, mismatch, gap, dp_scratch_i32);
+#endif
       const int32_t best = fw > rv ? fw : rv;
       if (best < 0) nb++; else ng++;
     }
+    for (int32_t id : ids_scratch) member_scratch[id] = 0;  // cheap reset
     *bad = nb;
     *good = ng;
     *unal = nu;

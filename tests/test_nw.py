@@ -213,3 +213,44 @@ def test_native_frontier_matches_python(seed, monkeypatch):
         monkeypatch.undo()
         assert [(s.bad, s.good, s.unaligned) for s in got] == \
                [(s.bad, s.good, s.unaligned) for s in want]
+
+
+def test_native_batch_long_paths_vs_oracle():
+    """Long read paths (m >= 32) dispatch the native batch scorer's int16
+    16-lane fill — differential vs the python oracle (fw + rc)."""
+    import numpy as np
+
+    from gfalign_tpu.io import native
+    from gfalign_tpu.ops.nw_path import Step, nw_score_oracle, revcomp_path
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    C, R, n_stride, m_stride = 6, 10, 96, 96
+    a = np.full((C, n_stride), -1, np.int32)
+    al = np.zeros(C, np.int32)
+    b = np.full((R, m_stride), -2, np.int32)
+    bl = np.zeros(R, np.int32)
+    a_paths, b_paths = [], []
+    for c in range(C):
+        n = int(rng.integers(5, 90))
+        al[c] = n
+        ids = rng.integers(0, 40, n)
+        orc = rng.integers(0, 2, n)
+        a[c, :n] = ids * 4 + orc
+        a_paths.append([Step(int(i), "+-"[o]) for i, o in zip(ids, orc)])
+    for r in range(R):
+        m = int(rng.integers(32, 90))
+        bl[r] = m
+        ids = rng.integers(0, 40, m)
+        orc = rng.integers(0, 2, m)
+        b[r, :m] = ids * 4 + orc
+        b_paths.append([Step(int(i), "+-"[o]) for i, o in zip(ids, orc)])
+    got = native.nw_best_scores_batch(a, al, b, bl, 0, -1, -1, True)
+    for c in range(C):
+        for r in range(R):
+            want = max(nw_score_oracle(a_paths[c], b_paths[r]),
+                       nw_score_oracle(a_paths[c],
+                                       revcomp_path(b_paths[r])))
+            assert got[c][r] == want
