@@ -778,7 +778,48 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
                        read_audits[r])
         for r, (_, seq) in enumerate(reads)]
 
-    work = [np.array(encode_seq(seq), dtype=np.int8) for _, seq in reads]
+    # read codes live as VIEWS into one contiguous blob: the host scoring
+    # ladder ships (blob, offsets, lengths) zero-copy every call, and
+    # placement-round masking (work[r][a:b] = PAD) writes straight into
+    # the blob — no per-call reconcatenation of all reads
+    _work_arrays = [np.asarray(encode_seq(seq), dtype=np.int8)
+                    for _, seq in reads]
+    read_blob = (np.concatenate(_work_arrays) if _work_arrays
+                 else np.zeros(1, np.int8))
+    read_len = np.fromiter(map(len, _work_arrays), np.int64,
+                           count=len(_work_arrays))
+    read_off = np.zeros(len(_work_arrays), np.int64)
+    if len(_work_arrays) > 1:
+        np.cumsum(read_len[:-1], out=read_off[1:])
+    work = [read_blob[read_off[r]:read_off[r] + read_len[r]]
+            for r in range(len(reads))]
+    # path codes accumulate into one blob keyed by candidate; the ladder
+    # passes absolute offsets, so no per-call concat.  Capacity is sized
+    # ONCE from the full candidate set at first use — doubling reallocs
+    # re-touch the whole blob and this VM's first-touch page faults cost
+    # ~2.6 s per fresh 67 MB buffer (see the chunk-pool note above)
+    _pblob = {"buf": None, "used": 0}
+    _poff: Dict[tuple, int] = {}
+
+    def blob_off_of(key: tuple) -> int:
+        off = _poff.get(key)
+        if off is None:
+            codes = codes_of(key)
+            need = _pblob["used"] + len(codes)
+            buf = _pblob["buf"]
+            if buf is None or need > len(buf):
+                cap = max(need,
+                          sum(len(op) for op in path_cache.values()) + 1024)
+                new = np.empty(cap, np.int8)
+                if buf is not None:
+                    new[:_pblob["used"]] = buf[:_pblob["used"]]
+                _pblob["buf"] = buf = new
+            buf[_pblob["used"]:need] = codes
+            off = _pblob["used"]
+            _poff[key] = off
+            _pblob["used"] = need
+        return off
+
     all_hits: List[List[GafHit]] = [[] for _ in reads]
     accepted: List[List[Tuple[int, int]]] = [[] for _ in reads]
     active = [r for r in range(len(reads)) if cand_lists[r]]
@@ -841,20 +882,21 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
         unplaceable by this candidate."""
         from ..io import native
 
+        # read codes ship as the shared blob (masking writes into it);
+        # path codes ship as absolute offsets into the growing path blob
+        # — both zero-copy per call (the per-call reconcatenation of all
+        # reads + all scored paths was ~12% of align time)
         ukeys: Dict[tuple, int] = {}
+        off_list: List[int] = []
+        len_list: List[int] = []
         for _, key in pairs:
             if key not in ukeys:
                 ukeys[key] = len(ukeys)
-        parts = [codes_of(k) for k in ukeys]
-        path_blob = (np.concatenate(parts) if parts
-                     else np.zeros(1, np.int8))
-        path_len = np.fromiter(map(len, parts), np.int64, count=len(parts))
-        path_off = np.zeros(len(parts), np.int64)
-        np.cumsum(path_len[:-1], out=path_off[1:])
-        read_blob = np.concatenate(work) if work else np.zeros(1, np.int8)
-        read_len = np.fromiter(map(len, work), np.int64, count=len(work))
-        read_off = np.zeros(len(work), np.int64)
-        np.cumsum(read_len[:-1], out=read_off[1:])
+                off_list.append(blob_off_of(key))
+                len_list.append(len(path_cache[key]))
+        path_blob = _pblob["buf"]
+        path_off = np.asarray(off_list, np.int64)
+        path_len = np.asarray(len_list, np.int64)
         rid = np.fromiter((r for r, _ in pairs), np.int32, count=len(pairs))
         pidn = np.fromiter((ukeys[k] for _, k in pairs), np.int32,
                            count=len(pairs))
