@@ -2112,8 +2112,9 @@ void seq_banded_pairs(const int8_t* reads, const int64_t* read_off,
       // bounded above by lr*match, below by ~block + width*gap) and the
       // band is whole 16-lane blocks (widths are multiples of 8 by
       // contract; odd-16 widths take the int32 8-lane path)
-      if (width % 16 == 0 && lr * (match > 0 ? match : 1) < 30000 &&
-          block > -30000) {
+      const int32_t pos_mag = std::max(
+          {match > 0 ? match : 0, mismatch > 0 ? mismatch : 0, 1});
+      if (width % 16 == 0 && lr * pos_mag < 30000 && block > -30000) {
         banded_pair_i16(rd, lr, pa, lp, delta, width, match, mismatch,
                         gap, pad_code, block, H16, out_best + n,
                         out_bi + n, out_bj + n, out_edge + n);
