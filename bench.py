@@ -221,7 +221,10 @@ def main() -> None:
         "baseline_pinned": round(base_u, 2),
         "baseline_pinned_realistic": round(base_r, 2),
         "baseline_fresh": round(fresh_base, 2),
+        # rounds <= 4 reported the uniform workload as their headline —
+        # compare prev_value against uniform_value, not value
         "prev_value": prev_round_value(),
+        "prev_value_basis": "uniform",
     }))
 
 

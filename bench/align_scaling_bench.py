@@ -111,6 +111,15 @@ def main() -> None:
     args = ap.parse_args()
 
     wd = pathlib.Path(args.workdir)
+    if not (wd / "reads.fq").is_file() or not (wd / "graph.gfa").is_file():
+        # fixtures are generated, not tracked: regenerate (same seed and
+        # shape as bench/pipeline_bench.py's default workload)
+        from gfalign_tpu.synth import make_workload, write_workload
+
+        print("regenerating workload fixtures...", file=sys.stderr)
+        wl = make_workload(seed=1, n_segments=1000, n_reads=10000,
+                           tangle_k=8, read_len=(2000, 8000))
+        write_workload(wl, str(wd))
     tmp = ROOT / "bench" / ".align_scaling"
     tmp.mkdir(exist_ok=True)
     # fixed read subset

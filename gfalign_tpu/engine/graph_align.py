@@ -248,8 +248,11 @@ def build_oriented_struct(graph: Graph, steps: List[Tuple[int, str]],
     clamped = 0
     prev = None
     for sid, orientation in steps:
-        seg = graph.segment(sid)
-        n = len(seg.seq) if seg.seq else (seg.length or 0)
+        # len(seq), NOT the declared LN length: a sequence-less segment
+        # contributes ZERO bytes to the materialized code array
+        # (codes_of), and path_len shipped to the native scorer must
+        # equal the blob bytes actually written
+        n = len(graph.segment(sid).seq)
         drop = overlaps_lut.get(prev + (sid, orientation), 0) if prev else 0
         offsets.append(pos - drop)
         seg_lens.append(n)
@@ -345,7 +348,17 @@ def _mapq(s1: int, s2: int) -> int:
     competitor at a different graph location scales it by the relative score
     gap (equal-scoring alternative -> 0).  Competitors are collected where
     the placement loop overlap-rejects them, deduped by trimmed location so
-    nested candidate paths containing the SAME placement don't count."""
+    nested candidate paths containing the SAME placement don't count.
+
+    Evidence bound (top-k pruning): only SCORED candidates can register
+    as competitors, and a cleanly-placed read scores its CHAIN_TOP_K
+    best chain-supported candidates (vote ties extended).  A same-score
+    competitor whose anchor-vote support ranks below the cut — e.g. its
+    copy of a repeat was starved by seed subsampling — is not seen and
+    mapq reads higher than the full-candidate-set model would report.
+    In practice repeat copies draw comparable anchors (mapq medians are
+    unchanged across the bench workloads); accuracy-critical runs can
+    raise --max-anchors or set --seed-sample 1 to tighten the evidence."""
     if s1 <= 0:
         return 0
     return max(0, min(60, (60 * (s1 - s2)) // s1))

@@ -28,7 +28,32 @@ from typing import Dict
 
 _MEM: Dict[str, object] = {}
 _DIR = [None]
+_SRC_HASH: Dict[str, str] = {}
 STATS = {"disk_hits": 0, "compiles": 0, "mem_hits": 0}
+
+
+def _source_fingerprint(jitted) -> str:
+    """Content hash of the module file defining the jitted function, so a
+    kernel edit invalidates its cached executables instead of silently
+    reusing a stale binary (the cache exists precisely for paths where
+    nothing would recompile and notice)."""
+    try:
+        import functools
+
+        fn = getattr(jitted, "__wrapped__", jitted)
+        while isinstance(fn, functools.partial):
+            fn = fn.func
+        path = getattr(getattr(fn, "__code__", None), "co_filename", None)
+        if not path:
+            return "nosrc"
+        h = _SRC_HASH.get(path)
+        if h is None:
+            with open(path, "rb") as fh:
+                h = hashlib.sha256(fh.read()).hexdigest()[:12]
+            _SRC_HASH[path] = h
+        return h
+    except Exception:
+        return "nosrc"
 
 
 def _cache_dir() -> pathlib.Path:
@@ -55,10 +80,10 @@ def enabled() -> bool:
         return False
 
 
-def _sig_of(name: str, args, static) -> str:
+def _sig_of(name: str, args, static, src: str) -> str:
     import jax
 
-    parts = [name, jax.__version__, jax.devices()[0].device_kind,
+    parts = [name, src, jax.__version__, jax.devices()[0].device_kind,
              repr(tuple(static))]
     for a in args:
         shape = getattr(a, "shape", None)
@@ -75,7 +100,7 @@ def call(name: str, jitted, args, static=()):
     alone don't capture."""
     if not enabled():
         return jitted(*args)
-    key = _sig_of(name, args, static)
+    key = _sig_of(name, args, static, _source_fingerprint(jitted))
     compiled = _MEM.get(key)
     if compiled is not None:
         STATS["mem_hits"] += 1

@@ -243,3 +243,25 @@ def test_native_anchor_votes_bit_exact(chain):
                                                  audits=a_p)
         assert nat == py
         assert [a.counts for a in a_n] == [a.counts for a in a_p]
+
+
+def test_struct_matches_codes_with_sequenceless_segment():
+    """build_oriented_struct's lengths must equal the MATERIALIZED code
+    array (codes_of / build_oriented_codes), not declared LN lengths: a
+    '*' segment contributes zero bytes, and path_len shipped to the
+    native banded scorer must match the blob bytes actually written."""
+    from gfalign_tpu.engine.graph_align import (_SegCodes,
+                                                build_oriented_codes,
+                                                build_oriented_struct)
+    from gfalign_tpu.graph.model import Graph
+
+    graph = Graph()
+    graph.add_segment("a", "ACGTACGT")
+    graph.add_segment("b", "*", tags=[("LN", "i", "8")])  # sequence-less
+    graph.add_segment("c", "TTTTCCCC")
+    steps = [(0, "+"), (1, "+"), (2, "+")]
+    op_s = build_oriented_struct(graph, steps, {})
+    op_c, codes = build_oriented_codes(graph, steps, {}, _SegCodes(graph))
+    assert len(op_s) == len(op_c) == len(codes) == 16
+    assert op_s.offsets == op_c.offsets
+    assert op_s.seg_lens == op_c.seg_lens
