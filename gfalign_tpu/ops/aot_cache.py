@@ -100,6 +100,12 @@ def call(name: str, jitted, args, static=()):
     alone don't capture."""
     if not enabled():
         return jitted(*args)
+    try:  # under an outer jit trace, inline as usual (lower() would fail)
+        from jax.core import Tracer
+    except Exception:
+        from jax._src.core import Tracer  # type: ignore
+    if any(isinstance(a, Tracer) for a in args):
+        return jitted(*args)
     key = _sig_of(name, args, static, _source_fingerprint(jitted))
     compiled = _MEM.get(key)
     if compiled is not None:

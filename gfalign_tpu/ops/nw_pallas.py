@@ -328,7 +328,10 @@ def nw_pair_scores_pallas(a_keys, a_len, b_keys, b_len, interpret: bool = False)
     blen = b_len.astype(jnp.int32).reshape(T, 1, TILE_R)
 
     fwd = _build_pallas_forward(n, m, interpret)
-    out = fwd(a_len_arr, rap, bs, blen)          # (C, T, 1, TILE_R) scores
+    from . import aot_cache
+
+    out = aot_cache.call("nw_fwd", fwd, (a_len_arr, rap, bs, blen),
+                         static=(n, m))           # (C, T, 1, TILE_R) scores
     return out.transpose(0, 1, 3, 2).reshape(C, R)
 
 
