@@ -552,3 +552,57 @@ if pid == 0:
         errs.append((attempt, [p.returncode for p in procs],
                      [o[1][-400:] for o in outs]))
     raise AssertionError(f"{nproc}-process {mode} search parity: {errs}")
+
+
+def test_real_distributed_align_more_ranks_than_reads(tmp_path):
+    """Edge: 3 processes, 2 reads — one rank's shard is empty; the gather
+    must still reassemble byte-identically (empty length-prefixed
+    payloads are valid)."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+    import pathlib
+
+    from gfalign_tpu.synth import make_workload, write_workload
+
+    wl = make_workload(seed=13, n_segments=100, n_reads=2,
+                      seg_len=(150, 400), read_len=(400, 900))
+    paths = write_workload(wl, str(tmp_path / "wl"))
+    from gfalign_tpu.cli.main import main as _main
+
+    single = tmp_path / "single.gaf"
+    _main(["align", "-f", paths["gfa"], "-r", paths["reads"],
+           "-o", str(single)])
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    out2 = tmp_path / "dist.gaf"
+    worker = tmp_path / "worker.py"
+    worker.write_text(f"""
+import sys, os
+sys.path.insert(0, {str(repo)!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+os.environ["GFALIGN_TPU_DISTRIBUTED"] = "1"
+from gfalign_tpu.cli.main import main
+main(["align", "-f", {paths["gfa"]!r}, "-r", {paths["reads"]!r},
+      "-o", {str(out2)!r}])
+""")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    for attempt in range(5):
+        if out2.exists():
+            out2.unlink()
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        procs = [subprocess.Popen(
+            [_sys.executable, str(worker), str(i), "3", port],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env) for i in range(3)]
+        outs = [p.communicate(timeout=300) for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+    assert all(p.returncode == 0 for p in procs), [o[1][-600:] for o in outs]
+    assert out2.read_bytes() == single.read_bytes()
