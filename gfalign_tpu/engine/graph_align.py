@@ -134,6 +134,7 @@ class OrientedPath:
     seg_lens: List[int] = None
     n_bases: int = -1                     # total length when seq is elided
     # (the seeded aligner builds paths code-first; strings are never needed)
+    step_pos: dict = None                 # lazy step -> first index map
 
     def __len__(self) -> int:
         return self.n_bases if self.n_bases >= 0 else len(self.seq)
@@ -246,19 +247,22 @@ def build_oriented_struct(graph: Graph, steps: List[Tuple[int, str]],
     seg_lens: List[int] = []
     pos = 0
     clamped = 0
-    prev = None
+    ps, po = -1, ""
+    lut_get = overlaps_lut.get
+    segment = graph.segment
     for sid, orientation in steps:
         # len(seq), NOT the declared LN length: a sequence-less segment
         # contributes ZERO bytes to the materialized code array
         # (codes_of), and path_len shipped to the native scorer must
         # equal the blob bytes actually written
-        n = len(graph.segment(sid).seq)
-        drop = overlaps_lut.get(prev + (sid, orientation), 0) if prev else 0
+        n = len(segment(sid).seq)
+        drop = lut_get((ps, po, sid, orientation), 0) if ps >= 0 else 0
         offsets.append(pos - drop)
         seg_lens.append(n)
         pos += n - drop
-        clamped += max(0, n - drop)
-        prev = (sid, orientation)
+        if n > drop:
+            clamped += n - drop
+        ps, po = sid, orientation
     return OrientedPath(steps, "", offsets, seg_lens, n_bases=clamped)
 
 
@@ -770,13 +774,22 @@ def _align_seeded(graph: Graph, reads, params: AlignParams):
         for key in cands:
             delta = cand_deltas[(r, key)]
             op = path_cache[key]
+            step_pos = op.step_pos
+            if step_pos is None:
+                # first-occurrence index per step (simple paths never
+                # repeat a state, so this equals tuple.index); cached on
+                # the path — the try/except tuple.index loop cost ~1 us
+                # per miss across 400k+ probes
+                step_pos = {}
+                for k_idx, st in enumerate(key):
+                    if st not in step_pos:
+                        step_pos[st] = k_idx
+                op.step_pos = step_pos
             chain = 0
             for a2, d2, v2 in anchors:
-                try:
-                    k_idx = key.index(a2)
-                except ValueError:
-                    continue
-                if abs(op.offsets[k_idx] + d2 - delta) <= CHAIN_TOL:
+                k_idx = step_pos.get(a2)
+                if k_idx is not None and \
+                        abs(op.offsets[k_idx] + d2 - delta) <= CHAIN_TOL:
                     chain += v2
             cand_chain[(r, key)] = chain
         cands.sort(key=lambda key: -cand_chain[(r, key)])

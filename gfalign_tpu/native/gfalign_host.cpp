@@ -1964,7 +1964,7 @@ static void banded_pair_i16(const int8_t* rd, int64_t lr, const int8_t* pa,
       const int8_t* w0 = pa + (j0 - 1);
       const __m256i vr = _mm256_set1_epi16(static_cast<int16_t>(r));
       int32_t chain_in = block;
-      int32_t row_best = -1, row_u = 0;
+      __m256i vrow = _mm256_set1_epi16(-16384);
       for (int32_t b = 0; b < width; b += 16) {
         const __m256i w = _mm256_cvtepi8_epi16(_mm_loadu_si128(
             reinterpret_cast<const __m128i*>(w0 + b)));
@@ -1999,25 +1999,23 @@ static void banded_pair_i16(const int8_t* rd, int64_t lr, const int8_t* pa,
                    vramp));
         _mm256_storeu_si256(reinterpret_cast<__m256i*>(H.data() + b), c);
         chain_in = static_cast<int16_t>(_mm256_extract_epi16(c, 15));
-        __m256i m = _mm256_max_epi16(
-            c, _mm256_permute2x128_si256(c, c, 0x01));
-        m = _mm256_max_epi16(m, _mm256_shuffle_epi32(m, 0x4E));
-        m = _mm256_max_epi16(m, _mm256_shuffle_epi32(m, 0xB1));
-        m = _mm256_max_epi16(m, _mm256_shufflelo_epi16(m, 0xB1));
-        const int32_t bm = static_cast<int16_t>(_mm256_extract_epi16(m, 0));
-        if (bm > row_best) {
-          const unsigned mask = static_cast<unsigned>(_mm256_movemask_epi8(
-              _mm256_cmpeq_epi16(c, _mm256_set1_epi16(
-                                        static_cast<int16_t>(bm)))));
-          row_best = bm;
-          row_u = b + static_cast<int32_t>(__builtin_ctz(mask) / 2);
-        }
+        vrow = _mm256_max_epi16(vrow, c);  // deferred row max
       }
+      // one reduction per row; first-argmax rescan only on improvement
+      __m256i m = _mm256_max_epi16(
+          vrow, _mm256_permute2x128_si256(vrow, vrow, 0x01));
+      m = _mm256_max_epi16(m, _mm256_shuffle_epi32(m, 0x4E));
+      m = _mm256_max_epi16(m, _mm256_shuffle_epi32(m, 0xB1));
+      m = _mm256_max_epi16(m, _mm256_shufflelo_epi16(m, 0xB1));
+      const int32_t row_best =
+          static_cast<int16_t>(_mm256_extract_epi16(m, 0));
       if (row_best > best) {
+        int32_t ru = 0;
+        while (H[ru] != row_best) ru++;  // first argmax in this row
         best = row_best;
         bi = static_cast<int32_t>(i);
-        bj = static_cast<int32_t>(j0 + row_u);
-        bu = row_u;
+        bj = static_cast<int32_t>(j0 + ru);
+        bu = ru;
       }
       continue;
     }
@@ -2150,7 +2148,7 @@ void seq_banded_pairs(const int8_t* reads, const int64_t* read_off,
           const __m256i vblk = _mm256_set1_epi32(block);
           const __m256i vzero = _mm256_setzero_si256();
           int32_t chain_in = block;
-          int32_t row_best = -1, row_u = 0;
+          __m256i vrow = _mm256_set1_epi32(INT32_MIN / 2);
           for (int32_t b = 0; b < width; b += 8) {
             const __m256i w = _mm256_cvtepi8_epi32(
                 _mm_loadl_epi64(reinterpret_cast<const __m128i*>(w0 + b)));
@@ -2180,24 +2178,23 @@ void seq_banded_pairs(const int8_t* reads, const int64_t* read_off,
                 c, _mm256_add_epi32(_mm256_set1_epi32(chain_in), vramp));
             _mm256_storeu_si256(reinterpret_cast<__m256i*>(H.data() + b), c);
             chain_in = _mm256_extract_epi32(c, 7);
-            // block max; strictly-greater update keeps the FIRST argmax
-            __m256i m = _mm256_max_epi32(
-                c, _mm256_permute2x128_si256(c, c, 0x01));
-            m = _mm256_max_epi32(m, _mm256_shuffle_epi32(m, 0x4E));
-            m = _mm256_max_epi32(m, _mm256_shuffle_epi32(m, 0xB1));
-            const int32_t bm = _mm256_extract_epi32(m, 0);
-            if (bm > row_best) {
-              const int mask = _mm256_movemask_ps(_mm256_castsi256_ps(
-                  _mm256_cmpeq_epi32(c, _mm256_set1_epi32(bm))));
-              row_best = bm;
-              row_u = b + __builtin_ctz(static_cast<unsigned>(mask));
-            }
+            vrow = _mm256_max_epi32(vrow, c);  // deferred row max
           }
+          // ONE horizontal reduction per row; the first-argmax scan of
+          // the stored row only runs when the row actually improves the
+          // running best (rare), replacing 6 shuffles per block
+          __m256i m = _mm256_max_epi32(
+              vrow, _mm256_permute2x128_si256(vrow, vrow, 0x01));
+          m = _mm256_max_epi32(m, _mm256_shuffle_epi32(m, 0x4E));
+          m = _mm256_max_epi32(m, _mm256_shuffle_epi32(m, 0xB1));
+          const int32_t row_best = _mm256_extract_epi32(m, 0);
           if (row_best > best) {
+            int32_t ru = 0;
+            while (H[ru] != row_best) ru++;  // first argmax in this row
             best = row_best;
             bi = static_cast<int32_t>(i);
-            bj = static_cast<int32_t>(j0 + row_u);
-            bu = row_u;
+            bj = static_cast<int32_t>(j0 + ru);
+            bu = ru;
           }
 #else
           for (int32_t u = 0; u < width; u++) {
