@@ -115,3 +115,41 @@ def test_cli_align_tunables_and_invoking_echo(tmp_path, capsys):
     assert (p.seed_k, p.min_score, p.max_anchors) == (11, 7, 9)
     assert p.band == 264 and p.band % 8 == 0      # rounded to sublanes
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_clr_preset_at_scale_places_noisy_reads():
+    """Seeded CLR path at workload scale: 60 reads at ~10% error (8% sub
+    + 2% indel) over a 300-segment graph must all place on their truth
+    locus (the wide-band ladder + short anchors are the CLR levers)."""
+    import io
+    import re
+    import sys
+
+    from gfalign_tpu.cli.main import main
+    from gfalign_tpu.synth import make_workload, write_workload
+
+    wl = make_workload(seed=31, n_segments=300, n_reads=60,
+                       seg_len=(300, 1200), read_len=(1500, 5000),
+                       sub_rate=0.08, ins_rate=0.01, del_rate=0.01)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        paths = write_workload(wl, d)
+        out = f"{d}/out.gaf"
+        old = sys.stdout
+        sys.stdout = io.StringIO()
+        try:
+            main(["align", "-f", paths["gfa"], "-r", paths["reads"],
+                  "-o", out, "-p", "CLR"])
+        finally:
+            sys.stdout = old
+        seg_re = re.compile(r"[><]([^><]+)")
+        best = {}
+        for line in open(out):
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) >= 12 and cols[0] not in best:
+                best[cols[0]] = set(seg_re.findall(cols[5]))
+    by_name = {t.name: t for t in wl.truth}
+    ok = sum(1 for name, segs in best.items()
+             if by_name.get(name) and segs & set(by_name[name].walk))
+    assert len(best) == len(wl.truth) == 60
+    assert ok >= 58  # >= 96% on-locus at ~10% error
