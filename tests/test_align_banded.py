@@ -372,3 +372,41 @@ def test_native_banded_pairs_matches_xla(seed):
         seqalign.PAD, seqalign._BLOCK)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_engine_parity_e2e_host_vs_device():
+    """END-TO-END engine parity: full CLI align with the host native
+    ladder vs GFALIGN_TPU_ALIGN_DEVICE=1 (XLA device kernels on the CPU
+    backend) must emit byte-identical GAF on random workloads — the
+    contract that makes engine selection transparent."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    from gfalign_tpu.synth import make_workload, write_workload
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for seed in (41, 46):
+        with tempfile.TemporaryDirectory() as d:
+            wl = make_workload(seed=seed, n_segments=120, n_reads=10,
+                               seg_len=(120, 400), read_len=(300, 900),
+                               sub_rate=0.01, ins_rate=0.002,
+                               del_rate=0.002)
+            paths = write_workload(wl, d)
+            outs = {}
+            for eng, extra in (("host", {}),
+                               ("device", {"GFALIGN_TPU_ALIGN_DEVICE": "1"})):
+                out = f"{d}/{eng}.gaf"
+                p = subprocess.run([sys.executable, "-c",
+                    "import sys; sys.path.insert(0, %r);"
+                    "import jax; jax.config.update('jax_platforms','cpu');"
+                    "from gfalign_tpu.cli.main import main;"
+                    "main(['align','-f',%r,'-r',%r,'-o',%r])"
+                    % (repo, paths["gfa"], paths["reads"], out)],
+                    env={**os.environ, **extra}, capture_output=True,
+                    text=True, timeout=300)
+                assert p.returncode == 0, p.stderr[-400:]
+                outs[eng] = open(out, "rb").read()
+            assert outs["host"].count(b"\n") > 0
+            assert outs["host"] == outs["device"]
