@@ -232,3 +232,35 @@ def test_native_gz_inputs_match_plain(tmp_path):
                for i in range(a_plain.count))
     # the gz load must have taken the columnar path (tokens present)
     assert a_gz.tokens is not None
+
+
+def test_search_profile_counters_accumulate_and_reset():
+    """search_profile() reports driver/eval time accumulated since the
+    last call and resets on read (the scaling bench's split source)."""
+    import io
+
+    from gfalign_tpu.engine.alignments import AlignmentSet
+    from gfalign_tpu.engine.search import search
+    from gfalign_tpu.io import native
+    from gfalign_tpu.io.gfa import read_gfa
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    from .conftest import REFERENCE
+    tf = REFERENCE / "testFiles"
+    if not tf.is_dir():
+        import pytest
+        pytest.skip("reference fixtures not mounted")
+    native.search_profile()  # reset
+    graph = read_gfa(str(tf / "random3.gfa"))
+    aln = AlignmentSet()
+    aln.load(str(tf / "random3.gaf"))
+    buf = io.StringIO()
+    search(graph, aln, str(tf / "random3.search_nodelist.tsv"), "1", "4",
+           out=buf)
+    total, ev, wait, waits = native.search_profile()
+    assert total > 0 and ev >= 0 and wait == 0 and waits == 0
+    # second read: counters were reset
+    total2, ev2, _, _ = native.search_profile()
+    assert total2 == 0 and ev2 == 0
