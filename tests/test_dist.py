@@ -606,3 +606,93 @@ main(["align", "-f", {paths["gfa"]!r}, "-r", {paths["reads"]!r},
             break
     assert all(p.returncode == 0 for p in procs), [o[1][-600:] for o in outs]
     assert out2.read_bytes() == single.read_bytes()
+
+
+def test_ring_sum_mode_high_out_degree_chunks(tmp_path):
+    """Regression for the sum-mode ring fix: a pop whose out-degree
+    (6000) exceeds one ring slot's tally capacity (~5461) must chunk the
+    exchange across ring batches — the old truncation left immediate
+    expansions unscored (zero-initialized tallies).  Two read-sharded
+    processes must stay byte-identical to the single-process run."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+    import pathlib
+
+    n_mid = 6000
+    gfa = tmp_path / "star.gfa"
+    with open(gfa, "w") as fh:
+        fh.write("S\ts\tACGTACGT\n")
+        fh.write("S\td\tACGTACGT\n")
+        for i in range(n_mid):
+            fh.write(f"S\tm{i}\tACGT\n")
+        for i in range(n_mid):
+            fh.write(f"L\ts\t+\tm{i}\t+\t0M\n")
+            fh.write(f"L\tm{i}\t+\td\t+\t0M\n")
+    nodelist = tmp_path / "nodes.tsv"
+    with open(nodelist, "w") as fh:
+        fh.write("s\t1\nd\t1\n")
+        for i in range(n_mid):
+            fh.write(f"m{i}\t1\n")
+    gaf = tmp_path / "reads.gaf"
+    with open(gaf, "w") as fh:
+        for k in range(6):
+            mid = f"m{k * 7}"
+            fh.write(f"q{k}\t16\t0\t16\t+\t>s>{mid}>d\t16\t0\t16\t16\t16\t"
+                     f"60\n")
+
+    import io as _io
+
+    from gfalign_tpu.engine.alignments import AlignmentSet
+    from gfalign_tpu.engine.search import search
+    from gfalign_tpu.io.gfa import read_gfa
+
+    graph = read_gfa(str(gfa))
+    aln = AlignmentSet()
+    aln.load(str(gaf))
+    want = _io.StringIO()
+    search(graph, aln, str(nodelist), "s", "d", max_steps=50, out=want)
+    assert want.getvalue().strip(), "single-process search found no paths"
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    worker = tmp_path / "worker.py"
+    worker.write_text(f"""
+import sys, io
+sys.path.insert(0, {str(repo)!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+from gfalign_tpu.engine.alignments import AlignmentSet
+from gfalign_tpu.engine.evaluate import distributed_evaluator
+from gfalign_tpu.engine.search import search
+from gfalign_tpu.io.gfa import read_gfa
+graph = read_gfa({str(gfa)!r})
+aln = AlignmentSet()
+aln.load({str(gaf)!r}, shard=(pid, nproc), shard_by="qname")
+buf = io.StringIO()
+search(graph, aln, {str(nodelist)!r}, "s", "d", max_steps=50,
+       out=buf, evaluate_fn=distributed_evaluator())
+if pid == 0:
+    print(buf.getvalue(), end="")
+""")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    errs = []
+    for attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        procs = [subprocess.Popen(
+            [_sys.executable, str(worker), str(i), "2", port],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env) for i in range(2)]
+        outs = [p.communicate(timeout=300) for p in procs]
+        got = "".join(ln for ln in outs[0][0].splitlines(keepends=True)
+                      if not ln.startswith("[Gloo]"))
+        if all(p.returncode == 0 for p in procs) and got == want.getvalue():
+            return
+        errs.append(([p.returncode for p in procs], got[:200],
+                     [o[1][-300:] for o in outs]))
+    raise AssertionError(f"high-out-degree ring-sum parity: {errs}")
