@@ -696,3 +696,66 @@ if pid == 0:
         errs.append(([p.returncode for p in procs], got[:200],
                      [o[1][-300:] for o in outs]))
     raise AssertionError(f"high-out-degree ring-sum parity: {errs}")
+
+
+def test_shm_exchange_ignores_stale_file(tmp_path):
+    """Regression for the O_TRUNC fix: a stale /dev/shm parity buffer left
+    by a crashed run with the same coordinator tag is zero-filled on
+    rank-0 create — its poisoned seq cells must never satisfy a wait and
+    merge dead data."""
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    addr = f"127.0.0.1:{port}"
+    tag = "".join(ch if ch.isalnum() else "_" for ch in addr)
+    stale = pathlib.Path(f"/dev/shm/gfalign_ar_{tag}")
+    # poison: huge seq counters + garbage data everywhere
+    stale.write_bytes(b"\x7f" * (8 + 2 * 2 * (2 + 4096) * 8))
+    try:
+        worker = tmp_path / "worker.py"
+        worker.write_text(f"""
+import sys
+sys.path.insert(0, {str(repo)!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+from gfalign_tpu.parallel.dist import allreduce_stats
+for rep in range(3):
+    got = allreduce_stats([10 + pid, 100 * (pid + 1)])
+    assert got == [21, 300], got
+print("OK")
+""")
+        env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+        errs = []
+        for attempt in range(3):
+            stale.write_bytes(b"\x7f" * (8 + 2 * 2 * (2 + 4096) * 8))
+            procs = [subprocess.Popen(
+                [_sys.executable, str(worker), str(i), "2", port],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env) for i in range(2)]
+            outs = [p.communicate(timeout=180) for p in procs]
+            if (all(p.returncode == 0 for p in procs)
+                    and all("OK" in o[0] for o in outs)):
+                return
+            errs.append(([p.returncode for p in procs],
+                         [o[1][-300:] for o in outs]))
+            # pick a fresh port for the retry (the old one may linger)
+            with socket.socket() as s:
+                s.bind(("127.0.0.1", 0))
+                port = str(s.getsockname()[1])
+            addr = f"127.0.0.1:{port}"
+            tag = "".join(ch if ch.isalnum() else "_" for ch in addr)
+            stale = pathlib.Path(f"/dev/shm/gfalign_ar_{tag}")
+        raise AssertionError(f"stale-shm allreduce: {errs}")
+    finally:
+        if stale.exists():
+            stale.unlink()
